@@ -1,0 +1,49 @@
+"""Shared deterministic constants.
+
+Every derivation here must be computable identically by Spark SQL and
+DuckDB SQL (the correctness oracle), so only integer arithmetic, md5,
+and float64 math are used — no engine-specific hash functions.
+
+The synthetic plane plays the role of the reference's web-mercator
+meter plane (reference ``src/libs/pfaedle/include/pfaedle/definitions.h:18-26``);
+the uniform grid-cell index mirrors ``util/geo/Grid.h:87-153`` with the
+reference CLI default cell size of 2000 m
+(``src/libs/pfaedle/src/config/config_reader.cpp:112``).
+"""
+
+# --- synthetic world -------------------------------------------------
+WORLD = 65536.0          # plane is [0, WORLD) x [0, WORLD) meters
+CELL = 2000.0            # grid-cell width/height (reference default 2000 m)
+CELL_STRIDE = 1 << 20    # cell_id = ix * CELL_STRIDE + iy (collision-free)
+
+# --- phash -> observation coordinates (BASELINE.json input_hint) -----
+# phash is a deterministic mix of doc_id; low 16 bits -> x, next 16 -> y.
+PHASH_MULT = 2654435761          # Knuth multiplicative-hash constant (public)
+PHASH_MOD = 1 << 62              # keep BIGINT-safe in both engines
+COORD_MASK = 65536               # x = phash % COORD_MASK, y = (phash//COORD_MASK) % COORD_MASK
+
+# --- trips (observation sequences; GTFS stop_times analogue) ---------
+N_TRIPS = 64                     # trip_id = doc_id % N_TRIPS, seq = doc_id // N_TRIPS
+
+# --- synthetic road graph (OSM-analogue planar grid) ------------------
+GRID_N = 32                      # GRID_N x GRID_N nodes
+GRID_SPACING = 2048.0            # meters between adjacent nodes
+RIVER_COL = 20                   # horizontal edges crossing col 19->20 removed
+                                 # => two connected components (exercises the
+                                 # reference's component-infinity shortcut,
+                                 # router.cpp:598-599)
+N_LEVELS = 8                     # road classes 0..7 (edge_payload.h:47-139)
+
+# --- candidate search (J5, edge_grid.cpp:21-41) ----------------------
+SNAP_RADIUS = 1500.0             # max point->edge distance
+TOP_K = 3                        # candidates kept per observation
+
+# --- station snapping (J6, node_grid.cpp:22-73) ----------------------
+STATION_MOD = 9                  # node is a station iff (row+col) % STATION_MOD == 0
+STATION_DX = 37.0                # station offset from its node (exercises snap)
+STATION_DY = -23.0
+STATION_RADIUS = 600.0           # snap search radius
+
+# --- cost model (router.cpp:53-117 defaults, simplified) -------------
+LEVEL_PUNISH = [1.0, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0]
+CAND_PEN_FAC = 1.0               # penalty = dist * fac (station_group.cpp:56-93)
