@@ -16,18 +16,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from pfaedle_spark import constants as C
 from pfaedle_spark import datagen, sqlgen
-from pfaedle_spark.operators import candidates, cells
+from pfaedle_spark.operators import candidates, cells, graph_ops, routing, snap, windows
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: spatial candidate join + tile assignment at sf0.001."""
+    """Flagship query: spatial candidate join -> Viterbi trip alignment ->
+    tile assignment at sf0.001 (the full matching pipeline)."""
     sf_dir = "/root/testdata/sf0.001"
     pts = datagen.points(spark, sf_dir)
     eds = datagen.edges(spark)
     cand = candidates.candidate_edges(pts, eds)
-    return cells.tile_assign(cand.filter("rank = 1").withColumnRenamed("dist", "snap_dist"))
+    aligned = routing.viterbi_align(cand, graph_ops.write_odir_edges(eds))
+    pts_xy = pts.select("image_id", "x", "y")
+    return cells.tile_assign(aligned.join(pts_xy, "image_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -56,12 +61,66 @@ def _q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.candidate_edges(datagen.points(spark, sf_dir), datagen.edges(spark))
 
 
+def _q_snap_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snap.snap_stations(datagen.stations(spark), datagen.station_nodes(spark))
+
+
+def _q_trip_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.trip_hops(datagen.points(spark, sf_dir))
+
+
+def _q_cum_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.cumulative_dist(datagen.points(spark, sf_dir))
+
+
+def _q_interp_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.interpolate_times(datagen.points(spark, sf_dir))
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_ops.degrees(datagen.edges(spark))
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_ops.connected_components(datagen.nodes(spark), datagen.edges(spark))
+
+
+def _q_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds.withColumn("oneway", F.lit(False)))
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    return routing.hop_shortest_paths(cand, bidir)
+
+
+def _q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    return routing.viterbi_align(cand, graph_ops.write_odir_edges(eds))
+
+
+def _q_greedy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 greedy mode: independent per-point best candidate (rank 1)."""
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), datagen.edges(spark))
+    return cells.tile_assign(cand.filter("rank = 1")).select(
+        "image_id", "trip_id", "seq", "edge_id", "cand_node", "dist", "cell_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "points_derive": _q_points_derive,
         "tile_assign": _q_tile_assign,
         "edge_cells": _q_edge_cells,
         "candidates_knn": _q_candidates,
+        "greedy_assign": _q_greedy_assign,
+        "snap_stations": _q_snap_stations,
+        "trip_hops": _q_trip_hops,
+        "cum_dist": _q_cum_dist,
+        "interp_times": _q_interp_times,
+        "node_degrees": _q_degrees,
+        "connected_components": _q_components,
+        "hop_shortest_paths": _q_hop_paths,
+        "viterbi_align": _q_viterbi,
     }
 
 
@@ -88,4 +147,44 @@ WHERE CAST(FLOOR(LEAST(e.x1,e.x2)/{C.CELL}) AS BIGINT) + ox.o
         <= CAST(FLOOR(GREATEST(e.y1,e.y2)/{C.CELL}) AS BIGINT)
 """,
         "candidates_knn": candidates.candidates_oracle_sql(),
+        "greedy_assign": candidates.candidates_cte_sql()
+        + f"""
+SELECT image_id, trip_id, seq, edge_id, cand_node, dist,
+       {sqlgen.cell_id('x', 'y')} AS cell_id
+FROM cand WHERE rank = 1
+""",
+        "snap_stations": snap.snap_oracle_sql(),
+        "trip_hops": windows.trip_hops_oracle_sql(),
+        "cum_dist": windows.cumulative_dist_oracle_sql(),
+        "interp_times": windows.interpolate_times_oracle_sql(),
+        "node_degrees": sqlgen.with_ctes("edges")
+        + """,
+ends AS (SELECT src AS node_id FROM edges UNION ALL SELECT dst FROM edges)
+SELECT node_id, COUNT(*) AS degree FROM ends GROUP BY node_id
+""",
+        "connected_components": sqlgen.with_ctes("nodes")
+        + f"""
+SELECT node_id,
+       CASE WHEN col >= {C.RIVER_COL} THEN {C.RIVER_COL} ELSE 0 END AS label
+FROM nodes
+""",
+        "hop_shortest_paths": candidates.candidates_cte_sql()
+        + f""",
+r1 AS (SELECT trip_id, seq, image_id, cand_node FROM cand WHERE rank = 1),
+hops AS (
+  SELECT trip_id, seq, image_id, cand_node,
+         LEAD(cand_node) OVER w AS to_node,
+         LEAD(image_id) OVER w AS to_image
+  FROM r1 WINDOW w AS (PARTITION BY trip_id ORDER BY seq)
+  QUALIFY to_node IS NOT NULL
+)
+SELECT trip_id, seq, image_id, to_image, cand_node, to_node,
+       CASE WHEN (cand_node % {C.GRID_N} < {C.RIVER_COL}) = (to_node % {C.GRID_N} < {C.RIVER_COL})
+            THEN (ABS(cand_node // {C.GRID_N} - to_node // {C.GRID_N})
+                + ABS(cand_node % {C.GRID_N} - to_node % {C.GRID_N})) * {C.GRID_SPACING}
+            ELSE NULL END AS path_cost
+FROM hops
+""",
+        # viterbi_align: per-trip DP (applyInPandas) — not SQL-expressible;
+        # rows-only driver check; brute-force oracle lives in tests/test_routing.py
     }

@@ -65,13 +65,23 @@ def candidate_edges(
 
     dedup = joined.dropDuplicates(["image_id", "edge_id"])
     with_dist = dedup.withColumn("dist", F.expr(DIST_EXPR)).filter(F.col("dist") <= radius)
+    # cand_node: nearer edge endpoint — the routing state of this candidate
+    # (reference promotes the projection to a node, osm_builder.cpp:1363-1506)
+    near_src = (
+        (F.col("x") - F.col("x1")) * (F.col("x") - F.col("x1"))
+        + (F.col("y") - F.col("y1")) * (F.col("y") - F.col("y1"))
+    ) <= (
+        (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2"))
+        + (F.col("y") - F.col("y2")) * (F.col("y") - F.col("y2"))
+    )
+    with_dist = with_dist.withColumn("cand_node", F.when(near_src, F.col("src")).otherwise(F.col("dst")))
     w = Window.partitionBy("image_id").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
     return (
         with_dist.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "image_id", "trip_id", "seq", "x", "y",
-            "edge_id", "src", "dst", "level", "oneway",
+            "edge_id", "src", "dst", "level", "oneway", "cand_node",
             "dist", "rank",
         )
     )
@@ -79,6 +89,15 @@ def candidate_edges(
 
 def candidates_oracle_sql(radius: float = C.SNAP_RADIUS, k: int = C.TOP_K) -> str:
     """DuckDB oracle for candidate_edges — same math, same tie-break."""
+    return candidates_cte_sql(radius, k) + """
+SELECT image_id, trip_id, seq, x, y, edge_id, src, dst, level, oneway, cand_node, dist, rank
+FROM cand
+"""
+
+
+def candidates_cte_sql(radius: float = C.SNAP_RADIUS, k: int = C.TOP_K) -> str:
+    """Same oracle as a WITH-fragment ending in a ``cand`` CTE, so
+    downstream oracles (hop costs, greedy assign) can build on it."""
     dist = sqlgen.dist_to_segment("p.x", "p.y", "e.x1", "e.y1", "e.x2", "e.y2")
     import math
 
@@ -114,13 +133,17 @@ edge_cells AS (
 pairs AS (
   SELECT DISTINCT p.image_id, p.trip_id, p.seq, p.x, p.y,
          e.edge_id, e.src, e.dst, e.level, e.oneway,
+         CASE WHEN (p.x-e.x1)*(p.x-e.x1)+(p.y-e.y1)*(p.y-e.y1)
+                <= (p.x-e.x2)*(p.x-e.x2)+(p.y-e.y2)*(p.y-e.y2)
+              THEN e.src ELSE e.dst END AS cand_node,
          {dist} AS dist
   FROM point_cells p JOIN edge_cells e USING (cell_id)
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY dist ASC, edge_id ASC) AS rank
   FROM pairs WHERE dist <= {radius}
-)
-SELECT image_id, trip_id, seq, x, y, edge_id, src, dst, level, oneway, dist, rank
-FROM ranked WHERE rank <= {k}
-"""
+),
+cand AS (
+  SELECT image_id, trip_id, seq, x, y, edge_id, src, dst, level, oneway, cand_node, dist, rank
+  FROM ranked WHERE rank <= {k}
+)"""

@@ -1,0 +1,224 @@
+"""R1-R10 — the routing/alignment query engine.
+
+Reference:
+* R1/R2 Dijkstra / edge-Dijkstra — ``util/graph/Dijkstra.h:118-304``,
+  ``util/graph/EDijkstra.h:190-418`` (PQ ordered by (h, d), tie-broken
+  deterministically).
+* R3 cost function — per-meter level punish
+  (``router/router.cpp:53-117``; defaults ``pfaedle.cfg:377-419``).
+* R6 N×M hop matrix + component-infinity shortcut (``router.cpp:580-624``,
+  ``:598-599``).
+* R7 layered Viterbi global solve (``router.cpp:408-549``) — source →
+  candidate layers → sink; optimum == HMM/Viterbi on candidate states.
+* R10 path → geometry assembly (``shape_builder.cpp:80-119``).
+
+Spark strategy: the per-trip DP is `applyInPandas` over trip groups —
+the same axis the reference parallelizes with OpenMP
+(``shape_builder.cpp:234``). The road graph ships to executors as a
+broadcast of flat numpy arrays (CSR adjacency): one city-scale
+component is a few MB, far under broadcast limits even at 10^12
+observation rows, because graph size scales with geography, not with
+the image table. For continent-scale graphs the plan is a per-component
+subgraph equi-join instead; candidates carry their component label so
+that join prunes precisely.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import constants as C
+
+
+# ---------------------------------------------------------------------------
+# graph representation: CSR adjacency over flat numpy arrays
+# ---------------------------------------------------------------------------
+
+def build_csr(edges_pdf: pd.DataFrame, level_punish: bool = True) -> dict:
+    """Directed CSR adjacency from an edge list (after write_odir_edges,
+    so oneway is already honored by the reverse-copy pass).
+
+    cost = length * LEVEL_PUNISH[level]  (R3, router.cpp:53-117)
+    """
+    src = edges_pdf["src"].to_numpy(np.int64)
+    dst = edges_pdf["dst"].to_numpy(np.int64)
+    length = edges_pdf["length"].to_numpy(np.float64)
+    level = edges_pdf["level"].to_numpy(np.int64)
+    cost = length * (np.array(C.LEVEL_PUNISH)[level] if level_punish else 1.0)
+    n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    order = np.lexsort((dst, src))
+    src, dst, cost = src[order], dst[order], cost[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    return {"indptr": indptr, "dst": dst, "cost": cost, "n": n}
+
+
+def dijkstra(csr: dict, source: int, targets: set[int] | None = None) -> dict[int, float]:
+    """Single-source shortest path with deterministic (d, node)
+    tie-break (reference PQ order, EDijkstra.h:50-53). Early exit once
+    all targets are settled."""
+    indptr, dst, cost = csr["indptr"], csr["dst"], csr["cost"]
+    dist: dict[int, float] = {}
+    remaining = set(targets) if targets is not None else None
+    pq: list[tuple[float, int]] = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in dist:
+            continue
+        dist[u] = d
+        if remaining is not None:
+            remaining.discard(u)
+            if not remaining:
+                break
+        for i in range(indptr[u], indptr[u + 1]):
+            v = int(dst[i])
+            if v not in dist:
+                heapq.heappush(pq, (d + float(cost[i]), v))
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# distributed hop matrix + Viterbi
+# ---------------------------------------------------------------------------
+
+_ALIGN_SCHEMA = (
+    "trip_id string, seq long, image_id string, edge_id long, cand_node long, "
+    "emission double, acc_cost double"
+)
+
+
+def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame:
+    """R7: per-trip global optimum over candidate layers.
+
+    emission(cand)   = dist * CAND_PEN_FAC   (A5, station_group.cpp:56-93)
+    transition(a, b) = Dijkstra cost cand_node(a) -> cand_node(b)
+                       (R6; cross-component => +inf, router.cpp:598-599)
+
+    Tie-break at every argmin: smaller (cost, edge_id) — deterministic
+    across partitionings (SURVEY §7 risk 1).
+
+    Output one row per (trip, seq): the chosen candidate and the
+    accumulated optimal cost at that layer.
+    """
+    spark = candidates.sparkSession
+    edges_pdf = edges_directed.select("src", "dst", "length", "level").toPandas()
+    bc = spark.sparkContext.broadcast(edges_pdf)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        csr = build_csr(bc.value)
+        return _viterbi_one_trip(pdf, csr)
+
+    cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
+    return (
+        candidates.select(*cols)
+        .groupBy("trip_id")
+        .applyInPandas(solve, schema=_ALIGN_SCHEMA)
+    )
+
+
+def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict) -> pd.DataFrame:
+    """Forward DP + backtrack for one trip. Pure function — unit-testable
+    against the brute-force oracle without Spark."""
+    pdf = pdf.sort_values(["seq", "edge_id"], ignore_index=True)
+    seqs = sorted(pdf["seq"].unique())
+    layers = [pdf[pdf["seq"] == s].reset_index(drop=True) for s in seqs]
+
+    # forward pass
+    dp_cost: list[np.ndarray] = []
+    dp_prev: list[np.ndarray] = []
+    first = layers[0]
+    dp_cost.append(first["dist"].to_numpy(np.float64) * C.CAND_PEN_FAC)
+    dp_prev.append(np.full(len(first), -1, dtype=np.int64))
+    for li in range(1, len(layers)):
+        prev_l, cur_l = layers[li - 1], layers[li]
+        prev_nodes = prev_l["cand_node"].to_numpy(np.int64)
+        cur_nodes = cur_l["cand_node"].to_numpy(np.int64)
+        # hop matrix: one Dijkstra per distinct source node (R6)
+        trans = np.full((len(prev_l), len(cur_l)), np.inf)
+        tgt = set(int(t) for t in np.unique(cur_nodes))
+        for un in np.unique(prev_nodes):
+            d = dijkstra(csr, int(un), targets=tgt)
+            row = np.array([d.get(int(cn), np.inf) for cn in cur_nodes])
+            trans[prev_nodes == un, :] = row
+        emission = cur_l["dist"].to_numpy(np.float64) * C.CAND_PEN_FAC
+        total = dp_cost[-1][:, None] + trans + emission[None, :]
+        # deterministic argmin: np.argmin returns first minimum; rows are
+        # pre-sorted by edge_id so ties break toward the smaller edge_id
+        best_prev = np.argmin(total, axis=0)
+        dp_cost.append(total[best_prev, np.arange(total.shape[1])])
+        dp_prev.append(best_prev)
+
+    # backtrack (argmin over final layer, first-min tie-break)
+    choice = np.zeros(len(layers), dtype=np.int64)
+    choice[-1] = int(np.argmin(dp_cost[-1]))
+    for li in range(len(layers) - 1, 0, -1):
+        choice[li - 1] = dp_prev[li][choice[li]]
+
+    out = []
+    for li, lay in enumerate(layers):
+        r = lay.iloc[int(choice[li])]
+        out.append(
+            (
+                r["trip_id"], int(r["seq"]), r["image_id"], int(r["edge_id"]),
+                int(r["cand_node"]), float(r["dist"] * C.CAND_PEN_FAC),
+                float(dp_cost[li][int(choice[li])]),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=["trip_id", "seq", "image_id", "edge_id", "cand_node", "emission", "acc_cost"],
+    )
+
+
+def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFrame:
+    """R6 exposed as its own operator: cost of the shortest path between
+    consecutive rank-1 candidate nodes of each trip, uniform weights.
+
+    Uniform weights on the synthetic full grid admit a closed-form
+    oracle (Manhattan distance), giving a CONFIRMED correctness gate
+    for the Dijkstra kernel. Cross-component hops report +inf as NULL.
+    """
+    from pyspark.sql import Window
+
+    spark = candidates.sparkSession
+    edges_pdf = edges_bidir.select("src", "dst", "length", "level").toPandas()
+    bc = spark.sparkContext.broadcast(edges_pdf)
+
+    w = Window.partitionBy("trip_id").orderBy("seq")
+    hops = (
+        candidates.filter("rank = 1")
+        .select("trip_id", "seq", "image_id", "cand_node")
+        .withColumn("to_node", F.lead("cand_node").over(w))
+        .withColumn("to_image", F.lead("image_id").over(w))
+        .filter(F.col("to_node").isNotNull())
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        csr = build_csr(bc.value, level_punish=False)
+        costs = []
+        cache: dict[int, dict[int, float]] = {}
+        for _, r in pdf.iterrows():
+            u, v = int(r["cand_node"]), int(r["to_node"])
+            if u not in cache:
+                cache[u] = dijkstra(csr, u, targets=set(pdf.loc[pdf.cand_node == u, "to_node"].astype(int)))
+            costs.append(cache[u].get(v, np.nan))
+        out = pdf[["trip_id", "seq", "image_id", "to_image", "cand_node", "to_node"]].copy()
+        out["path_cost"] = costs
+        return out
+
+    schema = (
+        "trip_id string, seq long, image_id string, to_image string, "
+        "cand_node long, to_node long, path_cost double"
+    )
+    out = hops.groupBy("trip_id").applyInPandas(solve, schema=schema)
+    # unreachable (cross-component) hops: surface as SQL NULL, not NaN
+    return out.withColumn(
+        "path_cost",
+        F.when(F.isnan("path_cost"), F.lit(None)).otherwise(F.col("path_cost")),
+    )

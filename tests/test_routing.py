@@ -1,0 +1,129 @@
+"""Routing engine: Dijkstra kernel, hop matrix, layered Viterbi.
+
+Oracles:
+* Dijkstra / hop costs — closed-form Manhattan distance on the uniform
+  bidirectional grid (+ the two-component infinity rule).
+* Viterbi — brute-force path enumeration over small trips with a
+  Floyd-Warshall transition matrix (independent implementation).
+"""
+
+import itertools
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR, assert_matches_oracle
+from pfaedle_spark import constants as C
+from pfaedle_spark import datagen
+from pfaedle_spark.operators import candidates, graph_ops, routing
+
+
+@pytest.fixture(scope="module")
+def grid_fw():
+    """Floyd-Warshall all-pairs costs with level punish, honoring oneway
+    (independent of the engine's Dijkstra)."""
+    import duckdb
+
+    n = C.GRID_N * C.GRID_N
+    con = duckdb.connect()
+    from pfaedle_spark import sqlgen
+
+    edges = con.execute(
+        sqlgen.with_ctes("edges") + " SELECT src, dst, length, level, oneway FROM edges"
+    ).fetchdf()
+    con.close()
+    lp = np.array(C.LEVEL_PUNISH)
+    d = np.full((n, n), np.inf)
+    np.fill_diagonal(d, 0.0)
+    for _, e in edges.iterrows():
+        c = e.length * lp[int(e.level)]
+        d[int(e.src), int(e.dst)] = min(d[int(e.src), int(e.dst)], c)
+        if not e.oneway:
+            d[int(e.dst), int(e.src)] = min(d[int(e.dst), int(e.src)], c)
+    for k in range(n):
+        d = np.minimum(d, d[:, k : k + 1] + d[k : k + 1, :])
+    return d
+
+
+def test_dijkstra_kernel_vs_floyd_warshall(grid_fw, spark):
+    edges_pdf = graph_ops.write_odir_edges(datagen.edges(spark)).select(
+        "src", "dst", "length", "level"
+    ).toPandas()
+    csr = routing.build_csr(edges_pdf)
+    rng = np.random.RandomState(7)
+    for src in rng.choice(C.GRID_N * C.GRID_N, 5, replace=False):
+        got = routing.dijkstra(csr, int(src))
+        for v in rng.choice(C.GRID_N * C.GRID_N, 20, replace=False):
+            want = grid_fw[int(src), int(v)]
+            g = got.get(int(v), np.inf)
+            assert g == pytest.approx(want) or (np.isinf(g) and np.isinf(want))
+
+
+def test_hop_shortest_paths_manhattan_oracle(spark):
+    """Uniform-weight hop costs == Manhattan distance (same component)."""
+    pts = datagen.points(spark, SF_DIR)
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds.withColumn("oneway", F.lit(False)))
+    cand = candidates.candidate_edges(pts, eds)
+    got = routing.hop_shortest_paths(cand, bidir).toPandas()
+    g = C.GRID_N
+    r1, c1 = got.cand_node // g, got.cand_node % g
+    r2, c2 = got.to_node // g, got.to_node % g
+    same = (c1 < C.RIVER_COL) == (c2 < C.RIVER_COL)
+    manhattan = (abs(r1 - r2) + abs(c1 - c2)) * C.GRID_SPACING
+    assert len(got) > 50
+    ok = got.path_cost[same].to_numpy() == manhattan[same].to_numpy()
+    assert ok.all(), f"{(~ok).sum()} hop costs differ from Manhattan"
+    assert got.path_cost[~same].isna().all()
+
+
+def test_viterbi_vs_bruteforce(grid_fw, spark):
+    pts = datagen.points(spark, SF_DIR)
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(pts, eds)
+    directed = graph_ops.write_odir_edges(eds)
+    got = routing.viterbi_align(cand, directed).toPandas()
+    cand_pdf = cand.toPandas()
+
+    # brute force on every trip with <= 6 layers
+    checked = 0
+    for trip_id, tp in cand_pdf.groupby("trip_id"):
+        seqs = sorted(tp.seq.unique())
+        if len(seqs) > 6 or len(seqs) < 2:
+            continue
+        layers = [
+            tp[tp.seq == s].sort_values("edge_id").reset_index(drop=True) for s in seqs
+        ]
+        best_cost, best_path = np.inf, None
+        for combo in itertools.product(*[range(len(l)) for l in layers]):
+            cost = layers[0].iloc[combo[0]]["dist"] * C.CAND_PEN_FAC
+            for i in range(1, len(layers)):
+                a = int(layers[i - 1].iloc[combo[i - 1]]["cand_node"])
+                b = int(layers[i].iloc[combo[i]]["cand_node"])
+                cost += grid_fw[a, b] + layers[i].iloc[combo[i]]["dist"] * C.CAND_PEN_FAC
+            if cost < best_cost - 1e-9:
+                best_cost, best_path = cost, combo
+        sub = got[got.trip_id == trip_id].sort_values("seq")
+        assert len(sub) == len(seqs)
+        final = sub.acc_cost.iloc[-1]
+        if np.isinf(best_cost):
+            assert np.isinf(final)
+        else:
+            assert final == pytest.approx(best_cost), f"trip {trip_id}"
+        checked += 1
+    assert checked >= 3, "need at least a few brute-forceable trips"
+
+
+def test_viterbi_deterministic_across_partitioning(spark):
+    pts = datagen.points(spark, SF_DIR)
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(pts, eds)
+    directed = graph_ops.write_odir_edges(eds)
+    a = routing.viterbi_align(cand, directed).toPandas().sort_values(
+        ["trip_id", "seq"], ignore_index=True
+    )
+    b = routing.viterbi_align(cand.repartition(17), directed).toPandas().sort_values(
+        ["trip_id", "seq"], ignore_index=True
+    )
+    assert a.equals(b)
