@@ -26,7 +26,11 @@ from pfaedle_spark.operators import candidates, cells, graph_ops, routing, snap,
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: spatial candidate join -> Viterbi trip alignment ->
     tile assignment at sf0.001 (the full matching pipeline)."""
-    sf_dir = "/root/testdata/sf0.001"
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end matching pipeline (bench target, BASELINE.json)."""
     pts = datagen.points(spark, sf_dir)
     eds = datagen.edges(spark)
     cand = candidates.candidate_edges(pts, eds)

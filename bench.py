@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also used for scaling evidence).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <flagship e2e sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "images_per_sec": ...}
+
+The flagship pipeline is the full matching chain of the reference
+(candidate spatial join -> per-trip Viterbi alignment -> tile assign,
+reference ``src/libs/pfaedle/src/router/shape_builder.cpp:199-335``);
+throughput is images/sec over it, per BASELINE.json metric.
+
+Each query is materialized with the noop sink so every column is
+computed (a bare ``count()`` would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pfaedle_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pfaedle_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plans, not first-touch JIT.
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    for name, fn in qs.items():
+        try:
+            times[name] = round(materialize(fn(spark, sf_dir)), 3)
+        except Exception as exc:  # keep the harness alive; surface the error
+            times[name] = -1.0
+            print(f"# bench error {name}: {exc}", file=sys.stderr)
+
+    # flagship: end-to-end matching pipeline (the BASELINE.json metric)
+    n_images = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.perf_counter()
+    entrymod._flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    flagship = time.perf_counter() - t0
+
+    out = {
+        "metric": "e2e matching pipeline wall (candidates->viterbi->tiles)",
+        "value": round(flagship, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / flagship, 1),
+        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
