@@ -30,9 +30,10 @@ sys.path.insert(0, REPO)
 from pfaedle_spark.session import get_spark  # noqa: E402
 
 
-def materialize(df) -> float:
+def materialize(spark, fn, sf_dir) -> float:
+    """Time plan construction + full materialization (noop sink)."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -53,7 +54,7 @@ def main() -> None:
 
     for name, fn in qs.items():
         try:
-            times[name] = round(materialize(fn(spark, sf_dir)), 3)
+            times[name] = round(materialize(spark, fn, sf_dir), 3)
         except Exception as exc:  # keep the harness alive; surface the error
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)

@@ -127,7 +127,10 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nodes(spark: SparkSession) -> DataFrame:
     g, s = C.GRID_N, C.GRID_SPACING
-    n = spark.range(g * g).select(F.col("id").alias("node_id"))
+    # few partitions: the graph side is small (the scale axis is the
+    # points/images side); 32-way ranges here would fan trivial rows into
+    # hundreds of per-stage tasks downstream.
+    n = spark.range(0, g * g, numPartitions=4).select(F.col("id").alias("node_id"))
     return n.select(
         "node_id",
         (F.col("node_id") % g).alias("col"),
