@@ -20,7 +20,17 @@ from pyspark.sql import functions as F
 
 from pfaedle_spark import constants as C
 from pfaedle_spark import datagen, sqlgen
-from pfaedle_spark.operators import candidates, cells, graph_ops, routing, snap, windows
+from pfaedle_spark.functions import textstats
+from pfaedle_spark.operators import (
+    candidates,
+    cells,
+    dedup,
+    graph_ops,
+    routing,
+    simsearch,
+    snap,
+    windows,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -110,6 +120,52 @@ def _q_greedy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data pipeline ops (documents / embeddings) -------------
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(datagen.dedup_corpus(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_pairs(datagen.dedup_corpus(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard(datagen.dedup_corpus(spark, sf_dir))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(datagen.dedup_corpus(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(datagen.dedup_corpus(spark, sf_dir))
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(datagen.documents(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(datagen.documents(spark, sf_dir))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(datagen.documents(spark, sf_dir))
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.ann_brute(datagen.embeddings(spark, sf_dir))
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.ivf_topk(datagen.embeddings(spark, sf_dir))
+
+
+def _q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.ivf_assign_counts(datagen.embeddings(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "points_derive": _q_points_derive,
@@ -125,6 +181,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "hop_shortest_paths": _q_hop_paths,
         "viterbi_align": _q_viterbi,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "ann_brute": _q_ann_brute,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_buckets": _q_ivf_buckets,
     }
 
 
@@ -191,4 +258,15 @@ FROM hops
 """,
         # viterbi_align: per-trip DP (applyInPandas) — not SQL-expressible;
         # rows-only driver check; brute-force oracle lives in tests/test_routing.py
+        "exact_dedup": dedup.exact_dedup_sql(),
+        "minhash_pairs": dedup.minhash_pairs_sql(),
+        "ngram_jaccard": dedup.ngram_jaccard_sql(),
+        "simhash": dedup.simhash_table_sql(),
+        "simhash_pairs": dedup.simhash_pairs_sql(),
+        "text_stats": textstats.text_stats_sql(),
+        "lang_id": textstats.lang_id_sql(),
+        "fingerprints": textstats.fingerprints_sql(),
+        "ann_brute": simsearch.ann_brute_sql(),
+        "ivf_topk": simsearch.ivf_topk_sql(),
+        "ivf_buckets": simsearch.ivf_assign_counts_sql(),
     }

@@ -38,6 +38,25 @@ def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` plus deterministically planted duplicates, so the
+    dedup operators have real work whose ground truth is known:
+
+    * exact dup: every doc_id % 7 == 0 copied verbatim as doc_id+2e6
+    * near dup:  every doc_id % 5 == 0 copied as doc_id+1e6 with the
+      first token replaced by 'xdup' (Jaccard stays high)
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("xdup"), F.expr("substring(text, instr(text, ' '))")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
 # --------------------------------------------------------------------
 # images / points
 # --------------------------------------------------------------------

@@ -1,0 +1,387 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data pipeline ops, Spark-first:
+
+* exact dedup       — md5-groupBy (one shuffle, map-side combinable)
+* MinHash + LSH     — shingle -> minhash signature -> band -> bucket join
+* SimHash           — 32-bit signature + pigeonhole-banded near-dup pairs
+* n-gram Jaccard    — exact similarity on LSH candidate pairs only
+
+Everything is built-in column expressions (JVM-side, codegen); the only
+"hash" primitive is md5 so the DuckDB oracle reproduces every value
+bit-identically (engine hash functions like xxhash differ between
+engines). The token hash is the md5-derived 60-bit integer reduced mod
+2^31-1 so permuted hashes ``(a*h+b) mod p`` never overflow int64.
+
+Scale notes (100 TB): every stage is a shuffle on a well-distributed
+key (doc_id, shingle hash, band signature). The band self-join is the
+classic LSH bucket join — bucket sizes are bounded by band width, and
+AQE skew-join covers pathological buckets. No driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tunables (shared with the SQL oracle below) ---------------------
+P31 = 2147483647          # 2^31 - 1 (Mersenne prime)
+                          # a_i, h < p  =>  a_i*h < (p-1)^2 < 2^63: no overflow
+NUM_PERMS = 16
+BANDS = 4                 # 4 bands x 4 rows
+ROWS_PER_BAND = NUM_PERMS // BANDS
+SHINGLE_K = 3             # word trigrams
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4        # pigeonhole: hamming<=3 => one of 4 byte-chunks equal
+HAMMING_MAX = 3
+
+
+# DuckDB mirror of datagen.dedup_corpus (documents + planted dups)
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'xdup' || SUBSTRING(text, INSTR(text, ' '))
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def h31(col: Column) -> Column:
+    """60-bit md5 prefix as integer, reduced mod 2^31-1 (both engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % P31
+
+
+def _h31_sql(expr: str) -> str:
+    return f"(CAST(('0x' || SUBSTRING(MD5({expr}), 1, 15)) AS BIGINT) % {P31})"
+
+
+# --------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Each doc -> canonical representative (min doc_id of its exact-text
+    group) + group size. Single hash-shuffle on md5(text)."""
+    keyed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    groups = keyed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return (
+        keyed.join(groups, "text_hash")
+        .select("doc_id", "canonical_id", "group_size",
+                (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"))
+    )
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.lstrip()},
+keyed AS (SELECT doc_id, MD5(text) AS text_hash FROM corpus),
+grp AS (
+  SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+  FROM keyed GROUP BY text_hash
+)
+SELECT k.doc_id, g.canonical_id, g.group_size,
+       k.doc_id <> g.canonical_id AS is_duplicate
+FROM keyed k JOIN grp g USING (text_hash)
+"""
+
+
+# --------------------------------------------------------------------
+# shingles
+# --------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-shingles per doc, with their 31-bit hash.
+
+    Array-native (transform over sequence) — no explode-then-window
+    shuffle; the only shuffle is the final DISTINCT.
+    """
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)  # empty when size < k
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+        .withColumn("sh_hash", h31(F.col("shingle")))
+    )
+
+
+def _shingles_cte(k: int = SHINGLE_K) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+{CORPUS_CTE.lstrip()},
+tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM corpus),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle, {_h31_sql('shingle')} AS sh_hash
+  FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - {k - 2}),
+                                 i -> {parts})) AS shingle
+    FROM tok WHERE LEN(toks) >= {k}
+  )
+)"""
+
+
+# --------------------------------------------------------------------
+# MinHash signatures + LSH bands
+# --------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash): min over shingles of (a_i*h + b_i) mod p.
+
+    One explode (num_perms x shingles) + map-side-combinable min agg.
+    """
+    sh = shingles(docs)
+    perms = sh.withColumn("perm", F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))))
+    # independent per-perm constants from md5 (NOT multiples of a shared
+    # base: a_i = c*i would make every permuted hash a multiple of one
+    # value and collapse all minima onto a single shared shingle).
+    a = h31(F.concat(F.col("perm").cast("string"), F.lit("a"))) % (P31 - 1) + 1
+    b = h31(F.concat(F.col("perm").cast("string"), F.lit("b")))
+    hp = (a * F.col("sh_hash") + b) % P31
+    return (
+        perms.withColumn("hp", hp)
+        .groupBy("doc_id", "perm")
+        .agg(F.min("hp").alias("minhash"))
+    )
+
+
+def _minhash_cte(num_perms: int = NUM_PERMS) -> str:
+    a = _h31_sql("CAST(perm AS VARCHAR) || 'a'")
+    b = _h31_sql("CAST(perm AS VARCHAR) || 'b'")
+    return f"""{_shingles_cte()},
+perms AS (SELECT perm, {a} % {P31 - 1} + 1 AS pa, {b} AS pb
+          FROM (SELECT UNNEST(RANGE(0, {num_perms})) AS perm)),
+sig AS (
+  SELECT s.doc_id, p.perm,
+         MIN((p.pa * s.sh_hash + p.pb) % {P31}) AS minhash
+  FROM shingles s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.perm
+)"""
+
+
+def lsh_bands(signatures: DataFrame, bands: int = BANDS) -> DataFrame:
+    """(doc_id, band, band_sig): md5 of the ordered minhashes of the band."""
+    rows = NUM_PERMS // bands
+    banded = signatures.withColumn("band", (F.col("perm") / rows).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            )
+        ).alias("band_sig")
+    )
+
+
+def _bands_cte(bands: int = BANDS) -> str:
+    rows = NUM_PERMS // bands
+    return f"""{_minhash_cte()},
+bands AS (
+  SELECT doc_id, CAST(perm // {rows} AS INT) AS band,
+         MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+  FROM sig GROUP BY doc_id, perm // {rows}
+)"""
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard (= matching-perm share).
+
+    Bucket self-join on (band, band_sig); signature agreement computed
+    from the signatures themselves (exact rational k/NUM_PERMS)."""
+    sig = minhash_signatures(docs)
+    bands = lsh_bands(sig)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    pairs = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")) / F.lit(NUM_PERMS))
+            .alias("est_jaccard")
+        )
+    )
+
+
+def minhash_pairs_sql() -> str:
+    return f"""WITH {_bands_cte().lstrip()},
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+         / {NUM_PERMS} AS est_jaccard
+FROM cand_pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+GROUP BY p.doc_a, p.doc_b
+"""
+
+
+# --------------------------------------------------------------------
+# exact n-gram Jaccard on the LSH candidates
+# --------------------------------------------------------------------
+
+def ngram_jaccard(docs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for every LSH candidate pair.
+
+    |A ∩ B| via join on (shingle hash), |A ∪ B| = |A|+|B|-|A∩B|; the
+    division of two exact integers is bit-identical across engines."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    pairs = minhash_pairs(docs).select("doc_a", "doc_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_hash")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "sh_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""WITH {_bands_cte().lstrip()},
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM cand_pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh_hash = a.sh_hash
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+FROM cand_pairs p
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+# --------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc from token-occurrence counts.
+
+    (doc, token, cnt) x 32 bit positions -> signed sums -> bit set iff
+    sum > 0. All shuffles keyed by doc_id."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("th", h31(F.col("tok")))
+    )
+    bits = toks.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
+    signed = bits.withColumn(
+        "contrib",
+        F.when(F.expr("(th >> b) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+    )
+    per_bit = signed.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(0)).alias(
+            "simhash"
+        )
+    )
+
+
+def _simhash_cte() -> str:
+    return f"""
+{CORPUS_CTE.lstrip()},
+tokc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt, {_h31_sql('tok')} AS th
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM corpus)
+  GROUP BY doc_id, tok
+),
+per_bit AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM tokc, (SELECT UNNEST(RANGE(0, {SIMHASH_BITS})) AS b) b
+  GROUP BY doc_id, b.b
+),
+sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+  FROM per_bit GROUP BY doc_id
+)"""
+
+
+def simhash_table_sql() -> str:
+    return "WITH " + _simhash_cte().lstrip() + " SELECT doc_id, simhash FROM sims"
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= 3 via pigeonhole banding:
+    split the 32-bit signature into 4 bytes — any pair within distance 3
+    shares at least one byte; join per byte-chunk, then exact filter."""
+    sig = simhash(docs)
+    chunked = sig.withColumn(
+        "chunk", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1)))
+    ).withColumn("ckey", F.expr("(simhash >> (chunk * 8)) & 255"))
+    a = chunked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "ckey")
+    b = chunked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_sql() -> str:
+    return f"""WITH {_simhash_cte().lstrip()},
+chunked AS (
+  SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 8)) & 255 AS ckey
+  FROM sims, (SELECT UNNEST(RANGE(0, {SIMHASH_CHUNKS})) AS c) c
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       BIT_COUNT(xor(a.simhash, b.simhash)) AS hamming
+FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.ckey = b.ckey
+WHERE a.doc_id < b.doc_id
+  AND BIT_COUNT(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""

@@ -1,0 +1,241 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* brute-force cosine top-k  — broadcast query set x full scan (baseline)
+* IVF-bucketed top-k        — coarse quantizer (deterministic seed
+  centroids) -> per-bucket search; the 100 TB path: the bucket id is a
+  join/partition key, so each query probes ~1/C of the data.
+
+Exactness strategy for the DuckDB oracle: embeddings are float32;
+cross-engine float summation order would drift. We quantize each
+component to an integer (floor(x*1024 + 0.5)) — integer dot products
+and norms are order-independent and exact, and the final
+``dot / sqrt(na*nb)`` is one correctly-rounded IEEE expression, hence
+bit-identical in both engines.
+
+Spark side stays JVM-vectorized: ``transform``/``zip_with``/
+``aggregate`` array expressions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Q = 1024          # quantization scale
+TOP_K = 5
+Q_STRIDE = 50     # query set = vec_id % Q_STRIDE == 0
+N_CENTROIDS = 8
+CENTROID_STRIDE = 17  # centroid c = the vector with vec_id = c * 17
+
+
+def _quant(col: Column) -> Column:
+    """array<float> -> array<bigint>, floor(x*Q + 0.5) (exact both engines)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * Q + 0.5).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _quant_sql(expr: str) -> str:
+    return f"LIST_TRANSFORM({expr}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {Q} + 0.5) AS BIGINT))"
+
+
+def quantized(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id",
+        "label",
+        _quant(F.col("embedding")).alias("qv"),
+    ).withColumn("norm2", _dot(F.col("qv"), F.col("qv")))
+
+
+def _quantized_cte() -> str:
+    return f"""
+qe AS (
+  SELECT vec_id, label, {_quant_sql('embedding')} AS qv
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, label, qv, LIST_DOT_PRODUCT(qv, qv)::BIGINT AS norm2 FROM qe
+)"""
+
+
+def _cosine(dot: Column, na: Column, nb: Column) -> Column:
+    return dot.cast("double") / F.sqrt((na * nb).cast("double"))
+
+
+def ann_brute(embeddings: DataFrame, k: int = TOP_K, q_stride: int = Q_STRIDE) -> DataFrame:
+    """Exact cosine top-k: broadcast query subset against the full table.
+
+    At 100 TB the query side is the small one (broadcast), the corpus
+    scan is embarrassingly parallel, and the top-k is a per-query
+    window over k*|queries| rows after a map-side rank prefilter.
+    """
+    from pyspark.sql import Window
+
+    qe = quantized(embeddings)
+    queries = qe.filter(F.col("vec_id") % q_stride == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"), F.col("norm2").alias("q_n2")
+    )
+    pairs = qe.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.withColumn("dot", _dot(F.col("q_qv"), F.col("qv"))).select(
+        "query_id",
+        "vec_id",
+        "label",
+        _cosine(F.col("dot"), F.col("q_n2"), F.col("norm2")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cosine")
+    )
+
+
+def ann_brute_sql(k: int = TOP_K, q_stride: int = Q_STRIDE) -> str:
+    return f"""WITH {_quantized_cte().lstrip()},
+queries AS (SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_n2 FROM qn
+            WHERE vec_id % {q_stride} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         LIST_DOT_PRODUCT(q.q_qv, e.qv)::DOUBLE
+           / SQRT((q.q_n2 * e.norm2)::DOUBLE) AS cosine
+  FROM queries q JOIN qn e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, label, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------
+# IVF (inverted-file) bucketed variant
+# --------------------------------------------------------------------
+
+def centroids(embeddings: DataFrame) -> DataFrame:
+    """Deterministic coarse centroids: the vectors with
+    vec_id = c*CENTROID_STRIDE, c in [0, N_CENTROIDS)."""
+    qe = quantized(embeddings)
+    return (
+        qe.filter(
+            (F.col("vec_id") % CENTROID_STRIDE == 0)
+            & (F.col("vec_id") < N_CENTROIDS * CENTROID_STRIDE)
+        )
+        .select(
+            (F.col("vec_id") / CENTROID_STRIDE).cast("int").alias("centroid_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("norm2").alias("c_n2"),
+        )
+    )
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """Vector -> nearest centroid by cosine (ties -> smaller id).
+    The bucket id is the partition/join key of the IVF index."""
+    from pyspark.sql import Window
+
+    qe = quantized(embeddings)
+    cents = centroids(embeddings)
+    scored = qe.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", _cosine(_dot(F.col("qv"), F.col("c_qv")), F.col("norm2"), F.col("c_n2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("vec_id", "label", "qv", "norm2", "centroid_id")
+    )
+
+
+def _ivf_assign_cte() -> str:
+    return f"""{_quantized_cte()},
+cents AS (
+  SELECT CAST(vec_id // {CENTROID_STRIDE} AS INT) AS centroid_id,
+         qv AS c_qv, norm2 AS c_n2
+  FROM qn
+  WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {N_CENTROIDS * CENTROID_STRIDE}
+),
+assign_scored AS (
+  SELECT e.vec_id, e.label, e.qv, e.norm2, c.centroid_id,
+         LIST_DOT_PRODUCT(e.qv, c.c_qv)::DOUBLE
+           / SQRT((e.norm2 * c.c_n2)::DOUBLE) AS c_cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY LIST_DOT_PRODUCT(e.qv, c.c_qv)::DOUBLE
+                                       / SQRT((e.norm2 * c.c_n2)::DOUBLE) DESC,
+                                     c.centroid_id ASC) AS r
+  FROM qn e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, qv, norm2, centroid_id FROM assign_scored WHERE r = 1
+)"""
+
+
+def ivf_topk(embeddings: DataFrame, k: int = TOP_K, q_stride: int = Q_STRIDE) -> DataFrame:
+    """Approximate top-k: each query probes only its own bucket.
+
+    The probe is an equi-join on centroid_id — at scale this is the
+    partition-pruned path (bucket = Iceberg partition)."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(embeddings)
+    queries = assigned.filter(F.col("vec_id") % q_stride == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_n2"),
+        "centroid_id",
+    )
+    pairs = assigned.join(F.broadcast(queries), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        "label",
+        _cosine(_dot(F.col("q_qv"), F.col("qv")), F.col("q_n2"), F.col("norm2")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cosine")
+    )
+
+
+def ivf_topk_sql(k: int = TOP_K, q_stride: int = Q_STRIDE) -> str:
+    return f"""WITH {_ivf_assign_cte().lstrip()},
+queries AS (SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_n2, centroid_id
+            FROM assigned WHERE vec_id % {q_stride} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         LIST_DOT_PRODUCT(q.q_qv, e.qv)::DOUBLE
+           / SQRT((q.q_n2 * e.norm2)::DOUBLE) AS cosine
+  FROM queries q JOIN assigned e USING (centroid_id)
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, label, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_assign_counts(embeddings: DataFrame) -> DataFrame:
+    """Bucket histogram — the skew diagnostic for the IVF index."""
+    return (
+        ivf_assign(embeddings)
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+def ivf_assign_counts_sql() -> str:
+    return f"""WITH {_ivf_assign_cte().lstrip()}
+SELECT centroid_id, COUNT(*) AS n_vectors FROM assigned GROUP BY centroid_id
+"""

@@ -1,0 +1,149 @@
+"""Training-data pipeline ops: dedup family, text analysis, ANN.
+
+Each op is checked two ways: (a) bit-identical vs its DuckDB oracle
+(the driver-contract gate), (b) semantic properties a correct
+implementation must satisfy (LSH candidates contain the truly-similar
+pairs, IVF recall vs brute force, etc.).
+"""
+
+import pyspark.sql.functions as F
+
+from conftest import SF_DIR, assert_matches_oracle
+from pfaedle_spark import datagen
+from pfaedle_spark.functions import textstats
+from pfaedle_spark.operators import dedup, simsearch
+
+
+def _docs(spark):
+    return datagen.documents(spark, SF_DIR)
+
+
+def _corpus(spark):
+    return datagen.dedup_corpus(spark, SF_DIR)
+
+
+def _emb(spark):
+    return datagen.embeddings(spark, SF_DIR)
+
+
+# --- oracle parity ---------------------------------------------------
+
+def test_exact_dedup_oracle(spark):
+    assert_matches_oracle(dedup.exact_dedup(_corpus(spark)), dedup.exact_dedup_sql())
+
+
+def test_minhash_pairs_oracle(spark):
+    assert_matches_oracle(dedup.minhash_pairs(_corpus(spark)), dedup.minhash_pairs_sql())
+
+
+def test_ngram_jaccard_oracle(spark):
+    assert_matches_oracle(dedup.ngram_jaccard(_corpus(spark)), dedup.ngram_jaccard_sql())
+
+
+def test_simhash_oracle(spark):
+    assert_matches_oracle(dedup.simhash(_corpus(spark)), dedup.simhash_table_sql())
+
+
+def test_simhash_pairs_oracle(spark):
+    assert_matches_oracle(dedup.simhash_pairs(_corpus(spark)), dedup.simhash_pairs_sql())
+
+
+def test_text_stats_oracle(spark):
+    assert_matches_oracle(textstats.text_stats(_docs(spark)), textstats.text_stats_sql())
+
+
+def test_lang_id_oracle(spark):
+    assert_matches_oracle(textstats.lang_id(_docs(spark)), textstats.lang_id_sql())
+
+
+def test_fingerprints_oracle(spark):
+    assert_matches_oracle(textstats.fingerprints(_docs(spark)), textstats.fingerprints_sql())
+
+
+def test_ann_brute_oracle(spark):
+    assert_matches_oracle(simsearch.ann_brute(_emb(spark)), simsearch.ann_brute_sql())
+
+
+def test_ivf_topk_oracle(spark):
+    assert_matches_oracle(simsearch.ivf_topk(_emb(spark)), simsearch.ivf_topk_sql())
+
+
+def test_ivf_buckets_oracle(spark):
+    assert_matches_oracle(
+        simsearch.ivf_assign_counts(_emb(spark)), simsearch.ivf_assign_counts_sql()
+    )
+
+
+# --- semantic properties ---------------------------------------------
+
+def test_exact_dedup_partitions_the_table(spark):
+    rows = dedup.exact_dedup(_corpus(spark)).collect()
+    n_docs = _corpus(spark).count()
+    assert len(rows) == n_docs
+    # canonical ids are members of their own group and never duplicates
+    canon = {r.canonical_id for r in rows}
+    for r in rows:
+        if r.doc_id in canon and r.doc_id == r.canonical_id:
+            assert not r.is_duplicate
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """On LSH candidate pairs, |est - exact| stays within the standard
+    error of a 16-perm signature (~0.25 at 2 sigma)."""
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in dedup.minhash_pairs(_corpus(spark)).collect()}
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard(_corpus(spark)).collect()
+    }
+    assert set(est) == set(exact) and est
+    bad = [(p, est[p], exact[p]) for p in est if abs(est[p] - exact[p]) > 0.5]
+    assert not bad, f"minhash estimate far from exact jaccard: {bad[:5]}"
+
+
+def test_simhash_pairs_symmetric_banding_complete(spark):
+    """Pigeonhole guarantee: every pair with hamming <= 3 appears."""
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(_corpus(spark)).collect()}
+    found = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(_corpus(spark)).collect()}
+    ids = sorted(sigs)[:80]  # bound the O(n^2) reference check
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= dedup.HAMMING_MAX:
+                assert (a, b) in found
+
+
+def test_lang_id_hits_consistent(spark):
+    rows = textstats.lang_id(_docs(spark)).collect()
+    for r in rows:
+        hits = {lang: r[f"hits_{lang}"] for lang in textstats.LANGS}
+        if max(hits.values()) == 0:
+            assert r.lang_guess == "und"
+        else:
+            best = max(hits.values())
+            expect = sorted(lang for lang in hits if hits[lang] == best)[0]
+            assert r.lang_guess == expect
+
+
+def test_ann_brute_ordering_and_range(spark):
+    rows = simsearch.ann_brute(_emb(spark)).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r.cosine for r in rs]
+        assert all(-1.000001 <= c <= 1.000001 for c in cos)
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_ivf_recall_vs_brute(spark):
+    """Bucketed search keeps a reasonable share of the true top-k
+    (approximate by design; on this data recall@5 should be > 0.3)."""
+    brute = {(r.query_id, r.vec_id) for r in simsearch.ann_brute(_emb(spark)).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in simsearch.ivf_topk(_emb(spark)).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall > 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_buckets_cover_all_vectors(spark):
+    total = sum(r.n_vectors for r in simsearch.ivf_assign_counts(_emb(spark)).collect())
+    assert total == _emb(spark).count()
