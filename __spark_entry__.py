@@ -26,6 +26,7 @@ from pfaedle_spark.operators import (
     cells,
     dedup,
     graph_ops,
+    multimodal,
     routing,
     simsearch,
     snap,
@@ -166,6 +167,40 @@ def _q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_assign_counts(datagen.embeddings(spark, sf_dir))
 
 
+# --- multimodal payload ops (input_hint image table) ------------------
+
+def _q_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datagen.images(spark, sf_dir).select(
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    )
+
+
+def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_stats(datagen.with_bytes(datagen.images(spark, sf_dir)))
+
+
+def _q_image_lossy_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.lossy_error(datagen.with_bytes(datagen.images(spark, sf_dir)))
+
+
+def _q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resized_stats(datagen.with_bytes(datagen.images(spark, sf_dir)))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample_plan(datagen.images(spark, sf_dir))
+
+
+def _q_tiles_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment carrying the payload through (caption equality +
+    payload size travel with the join — north-rule raster/vector tiles)."""
+    tiles = cells.tile_assign(datagen.points(spark, sf_dir)).select("image_id", "cell_id")
+    imgs = datagen.with_bytes(datagen.images(spark, sf_dir)).select(
+        "image_id", "caption", F.length("bytes").cast("long").alias("n_bytes")
+    )
+    return tiles.join(imgs, "image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "points_derive": _q_points_derive,
@@ -192,6 +227,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": _q_ann_brute,
         "ivf_topk": _q_ivf_topk,
         "ivf_buckets": _q_ivf_buckets,
+        "images_meta": _q_images_meta,
+        "image_decode_stats": _q_image_decode_stats,
+        "image_lossy_psnr": _q_image_lossy_psnr,
+        "image_resize_stats": _q_image_resize_stats,
+        "frame_sample": _q_frame_sample,
+        "tiles_payload": _q_tiles_payload,
     }
 
 
@@ -269,4 +310,16 @@ FROM hops
         "ann_brute": simsearch.ann_brute_sql(),
         "ivf_topk": simsearch.ivf_topk_sql(),
         "ivf_buckets": simsearch.ivf_assign_counts_sql(),
+        "images_meta": sqlgen.with_ctes("images")
+        + " SELECT image_id, w, h, fmt, caption, phash FROM images",
+        "image_decode_stats": multimodal.decode_stats_sql(),
+        "image_lossy_psnr": multimodal.lossy_error_sql(),
+        "image_resize_stats": multimodal.resized_stats_sql(),
+        "frame_sample": multimodal.frame_sample_plan_sql(),
+        "tiles_payload": sqlgen.with_ctes("points", "images")
+        + f"""
+SELECT p.image_id, {sqlgen.cell_id('p.x', 'p.y')} AS cell_id,
+       i.caption, (i.w * i.h)::BIGINT AS n_bytes
+FROM points p JOIN images i USING (image_id)
+""",
     }

@@ -91,14 +91,18 @@ def with_bytes(images_df: DataFrame) -> DataFrame:
     phash with a per-pixel LCG (numpy, Arrow-batched — no per-row Python).
 
     fmt='raw'  : w*h uint8 pixels, exact round-trip.
-    fmt='rawz' : same pixels quantized to 16 levels — the "lossy" format
-                 (PSNR-checked, >=40 dB guaranteed by construction is NOT
-                 assumed; tests measure it).
+    fmt='rawz' : same pixels quantized to 64 levels (>>2<<2) — the
+                 "lossy" format; E[err^2] = 3.5 => PSNR ~ 42.7 dB,
+                 satisfying the >=40 dB input_hint invariant (tests
+                 measure it, they don't assume it).
     fmt='png'  : payload stubbed as raw bytes behind the same schema; the
                  real PNG codec is gated (not in this container) — see
                  operators/multimodal.py.
     """
-    schema = images_df.schema.add("bytes", "binary")
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    # copy the fields — StructType.add would mutate the df's cached schema
+    schema = StructType(list(images_df.schema.fields) + [StructField("bytes", BinaryType())])
 
     def gen(batches):
         for pdf in batches:
@@ -106,7 +110,7 @@ def with_bytes(images_df: DataFrame) -> DataFrame:
             for ph, w, h, fmt in zip(pdf["phash"], pdf["w"], pdf["h"], pdf["fmt"]):
                 px = gen_pixels(int(ph), int(w), int(h))
                 if fmt == "rawz":
-                    px = (px >> 4) << 4
+                    px = (px >> 2) << 2
                 out.append(px.tobytes())
             pdf = pdf.copy()
             pdf["bytes"] = out
