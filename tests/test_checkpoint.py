@@ -1,0 +1,52 @@
+"""Checkpoint/resume: per-partition lineage + metrics (north rule)."""
+
+import json
+import shutil
+
+from conftest import SF_DIR
+from pfaedle_spark.plans.checkpoint import CheckpointedPipeline, checkpointed_flagship
+
+
+def test_flagship_checkpoints_and_resumes(spark, tmp_path):
+    root = str(tmp_path / "cp")
+
+    tiles1, cp1 = checkpointed_flagship(spark, SF_DIR, root)
+    n1 = tiles1.count()
+    assert n1 > 0
+    assert cp1.computed == ["points", "edges", "candidates", "viterbi", "tiles"]
+    assert cp1.skipped == []
+
+    # manifest: every stage complete, with lineage + per-partition stats
+    entries = [json.loads(line) for line in open(f"{root}/MANIFEST.jsonl")]
+    by_stage = {e["stage"]: e for e in entries}
+    assert by_stage["candidates"]["inputs"] == ["points", "edges"]
+    for e in entries:
+        assert e["status"] == "complete"
+        assert e["n_rows"] == sum(p["rows"] for p in e["partitions"])
+        assert all(p["bytes"] > 0 for p in e["partitions"])
+
+    # "kill + rerun": a fresh run resumes every stage from checkpoint
+    tiles2, cp2 = checkpointed_flagship(spark, SF_DIR, root)
+    assert cp2.computed == []
+    assert cp2.skipped == ["points", "edges", "candidates", "viterbi", "tiles"]
+    assert tiles2.count() == n1
+
+    # partial failure: losing one mid-pipeline checkpoint recomputes it
+    # and (lineage cascade) its downstream stages; upstream stays resumed
+    shutil.rmtree(f"{root}/viterbi")
+    tiles3, cp3 = checkpointed_flagship(spark, SF_DIR, root)
+    assert cp3.computed == ["viterbi", "tiles"]
+    assert cp3.skipped == ["points", "edges", "candidates"]
+    assert tiles3.count() == n1
+
+
+def test_invalidate_forces_recompute(spark, tmp_path):
+    root = str(tmp_path / "cp2")
+    cp = CheckpointedPipeline(spark, root)
+    df = cp.stage("ten", lambda: spark.range(10).toDF("n"))
+    assert df.count() == 10 and cp.computed == ["ten"]
+
+    cp2 = CheckpointedPipeline(spark, root)
+    cp2.invalidate("ten")
+    cp2.stage("ten", lambda: spark.range(10).toDF("n"))
+    assert cp2.computed == ["ten"]
