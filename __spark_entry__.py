@@ -25,8 +25,10 @@ from pfaedle_spark.operators import (
     candidates,
     cells,
     dedup,
+    evalmetrics,
     graph_ops,
     graph_passes,
+    gtfs_ops,
     multimodal,
     routing,
     simsearch,
@@ -235,6 +237,56 @@ def _q_simplify_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_passes.simplify_geometries(geoms).select("edge_id", "n_in", "n_out")
 
 
+# --- GTFS relational ops / eval metrics / greedy2 ---------------------
+
+def _q_shape_refcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gtfs_ops.shape_refcount(datagen.points(spark, sf_dir))
+
+
+def _q_edge_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gtfs_ops.edge_lines(datagen.edges(spark))
+
+
+def _q_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = gtfs_ops.restriction_members(spark, datagen.edges(spark))
+    return gtfs_ops.read_restrictions(rels)
+
+
+def _q_greedy2_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    return routing.greedy2_align(cand, graph_ops.write_odir_edges(eds))
+
+
+def _aligned_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    aligned = routing.viterbi_align(cand, graph_ops.write_odir_edges(eds))
+    nd = datagen.nodes(spark).select(
+        F.col("node_id").alias("cand_node"), "x", "y"
+    )
+    return aligned.join(nd, "cand_node").select("trip_id", "seq", "x", "y")
+
+
+def _q_frechet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = datagen.points(spark, sf_dir).select("trip_id", "seq", "x", "y")
+    return evalmetrics.frechet_eval(_aligned_xy(spark, sf_dir), truth)
+
+
+def _q_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = datagen.points(spark, sf_dir).select("trip_id", "seq", "x", "y")
+    return evalmetrics.df_histogram(
+        evalmetrics.frechet_eval(_aligned_xy(spark, sf_dir), truth)
+    )
+
+
+def _q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stops = datagen.points(spark, sf_dir).select(
+        "trip_id", F.col("seq").alias("stop_seq"), "x", "y"
+    )
+    return evalmetrics.segmentize(_aligned_xy(spark, sf_dir), stops)
+
+
 # --- multimodal payload ops (input_hint image table) ------------------
 
 def _q_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +355,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_edges": _q_orphan_edges,
         "collapse_edges": _q_collapse_edges,
         "simplify_geoms": _q_simplify_geoms,
+        "shape_refcount": _q_shape_refcount,
+        "edge_lines": _q_edge_lines,
+        "restrictions": _q_restrictions,
+        "greedy2_align": _q_greedy2_align,
+        "frechet_eval": _q_frechet_eval,
+        "df_histogram": _q_df_histogram,
+        "segmentize": _q_segmentize,
         "images_meta": _q_images_meta,
         "image_decode_stats": _q_image_decode_stats,
         "image_lossy_psnr": _q_image_lossy_psnr,
@@ -416,6 +475,12 @@ edges_pruned AS (
         # collapse_edges / simplify_geoms: iterative contraction and
         # Douglas-Peucker are not SQL-expressible — rows-only driver
         # check; python-reference oracles live in tests/test_graph_passes.py
+        "shape_refcount": gtfs_ops.shape_refcount_sql(),
+        "edge_lines": gtfs_ops.edge_lines_sql(),
+        "restrictions": gtfs_ops.restrictions_sql(),
+        # greedy2_align / frechet_eval / df_histogram / segmentize:
+        # per-trip sequential scans (chained Dijkstra, Fréchet DP,
+        # projectOnAfter) — python-reference oracles in tests/test_evalmetrics.py
         "images_meta": sqlgen.with_ctes("images")
         + " SELECT image_id, w, h, fmt, caption, phash FROM images",
         "image_decode_stats": multimodal.decode_stats_sql(),

@@ -113,11 +113,26 @@ def densify(xs: np.ndarray, ys: np.ndarray, d: float) -> tuple[np.ndarray, np.nd
     return np.asarray(out_x), np.asarray(out_y)
 
 
+MAX_DENSIFY_PTS = 256  # cap the O(n^2) DP: seg grows with path length
+                       # (the reference's fixed 50 m grid assumes city-
+                       # scale hops; the cap keeps the DP bounded on
+                       # arbitrarily long inputs without changing the
+                       # metric's resolution below the cap)
+
+
+def _eff_seg(xs, ys, seg: float) -> float:
+    total = float(np.hypot(np.diff(xs), np.diff(ys)).sum())
+    return max(seg, total / MAX_DENSIFY_PTS)
+
+
 def frechet_dist(ax, ay, bx, by, seg: float = 50.0) -> float:
     """Discrete Fréchet distance after densification
     (Eiter/Mannila DP; reference Geo.h:1560-1600)."""
-    ax, ay = densify(np.asarray(ax, np.float64), np.asarray(ay, np.float64), seg)
-    bx, by = densify(np.asarray(bx, np.float64), np.asarray(by, np.float64), seg)
+    ax = np.asarray(ax, np.float64); ay = np.asarray(ay, np.float64)
+    bx = np.asarray(bx, np.float64); by = np.asarray(by, np.float64)
+    seg = max(_eff_seg(ax, ay, seg), _eff_seg(bx, by, seg))
+    ax, ay = densify(ax, ay, seg)
+    bx, by = densify(bx, by, seg)
     p, q = len(ax), len(bx)
     d = np.hypot(ax[:, None] - bx[None, :], ay[:, None] - by[None, :])
     ca = np.empty((p, q))
@@ -135,8 +150,11 @@ def frechet_dist(ax, ay, bx, by, seg: float = 50.0) -> float:
 def acc_frechet_dist(ax, ay, bx, by, seg: float = 25.0) -> float:
     """Accumulated Fréchet variant (reference Geo.h:1602-1627) — sum of
     per-step distances along the optimal coupling, normalized by steps."""
-    ax, ay = densify(np.asarray(ax, np.float64), np.asarray(ay, np.float64), seg)
-    bx, by = densify(np.asarray(bx, np.float64), np.asarray(by, np.float64), seg)
+    ax = np.asarray(ax, np.float64); ay = np.asarray(ay, np.float64)
+    bx = np.asarray(bx, np.float64); by = np.asarray(by, np.float64)
+    seg = max(_eff_seg(ax, ay, seg), _eff_seg(bx, by, seg))
+    ax, ay = densify(ax, ay, seg)
+    bx, by = densify(bx, by, seg)
     p, q = len(ax), len(bx)
     d = np.hypot(ax[:, None] - bx[None, :], ay[:, None] - by[None, :])
     ca = np.empty((p, q))

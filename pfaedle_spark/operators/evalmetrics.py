@@ -1,0 +1,168 @@
+"""A6/W4 — evaluation metrics and shape segmentization.
+
+* A6 — reference ``eval/collector.cpp:37-192,441-462``: per-trip
+  accumulated Fréchet distance d_f between the matched shape and the
+  ground-truth shape; a segment is "unmatched" when its Fréchet
+  distance >= 20 m; global histograms over bins 10..100.
+* W4 — reference ``collector::segmentize`` (``collector.cpp:194-259``):
+  cut the matched polyline at the per-stop projections (ordered
+  ``projectOnAfter``), yielding one sub-polyline per hop.
+
+Both run per trip in ``applyInPandas`` (the DP/scan is inherently
+sequential per trip — exactly the reference's per-trip loop, which is
+the distributed axis). Fréchet itself is the numpy implementation in
+``functions/geo.py`` (``Geo.h:1560-1627`` semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geo import acc_frechet_dist, frechet_dist
+
+UNMATCHED_DF = 20.0
+DF_BINS = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0]
+
+
+def frechet_eval(aligned_xy: DataFrame, truth_xy: DataFrame) -> DataFrame:
+    """Per-trip d_f between matched node path and ground-truth path.
+
+    Inputs: (trip_id, seq, x, y) for both sides. Output:
+    (trip_id, n_pts, d_f, acc_d_f, unmatched)."""
+    a = aligned_xy.select("trip_id", "seq", "x", "y").withColumn("side", F.lit(0))
+    b = truth_xy.select("trip_id", "seq", "x", "y").withColumn("side", F.lit(1))
+    both = a.unionByName(b)
+
+    def per_trip(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["side", "seq"])
+        ga = pdf[pdf["side"] == 0]
+        gb = pdf[pdf["side"] == 1]
+        if len(ga) < 2 or len(gb) < 2:
+            return pd.DataFrame(
+                columns=["trip_id", "n_pts", "d_f", "acc_d_f", "unmatched"]
+            )
+        ax, ay = ga["x"].to_numpy(float), ga["y"].to_numpy(float)
+        bx, by = gb["x"].to_numpy(float), gb["y"].to_numpy(float)
+        df_ = frechet_dist(ax, ay, bx, by)
+        adf = acc_frechet_dist(ax, ay, bx, by)
+        return pd.DataFrame(
+            [
+                (
+                    pdf["trip_id"].iloc[0],
+                    len(ga),
+                    float(df_),
+                    float(adf),
+                    bool(df_ >= UNMATCHED_DF),
+                )
+            ],
+            columns=["trip_id", "n_pts", "d_f", "acc_d_f", "unmatched"],
+        )
+
+    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        both.repartition(n_part, "trip_id")
+        .groupBy("trip_id")
+        .applyInPandas(
+            per_trip,
+            schema="trip_id string, n_pts long, d_f double, acc_d_f double, unmatched boolean",
+        )
+    )
+
+
+def df_histogram(evaled: DataFrame) -> DataFrame:
+    """Global eval statistics: histogram of d_f over DF_BINS plus the
+    unmatched share A_N/N (collector::print_stats :389-439)."""
+    bucket = F.lit(None).cast("double")
+    for e in reversed(DF_BINS):
+        bucket = F.when(F.col("d_f") <= e, F.lit(float(e))).otherwise(bucket)
+    return (
+        evaled.withColumn("bin", bucket)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("unmatched").cast("long")).alias("n_unmatched"),
+        )
+        .orderBy("bin")
+    )
+
+
+def segmentize(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
+    """W4: cut each trip's matched polyline at the ordered projections
+    of its stops; output one row per hop with the sub-polyline length.
+
+    Inputs: aligned (trip_id, seq, x, y) = polyline vertices in order;
+    stops (trip_id, stop_seq, x, y). Output: (trip_id, stop_seq,
+    start_pos, end_pos, seg_len) in meters along the line."""
+    a = aligned_xy.select("trip_id", "seq", "x", "y").withColumn("side", F.lit(0)).withColumnRenamed("seq", "ord")
+    s = stops_xy.select(
+        "trip_id", F.col("stop_seq").alias("ord"), "x", "y"
+    ).withColumn("side", F.lit(1))
+    both = a.unionByName(s)
+
+    def per_trip(pdf: pd.DataFrame) -> pd.DataFrame:
+        line = pdf[pdf["side"] == 0].sort_values("ord")
+        stops = pdf[pdf["side"] == 1].sort_values("ord")
+        if len(line) < 2 or len(stops) < 2:
+            return pd.DataFrame(
+                columns=["trip_id", "stop_seq", "start_pos", "end_pos", "seg_len"]
+            )
+        xs, ys = line["x"].to_numpy(float), line["y"].to_numpy(float)
+        seg_dx = np.diff(xs)
+        seg_dy = np.diff(ys)
+        seg_len = np.hypot(seg_dx, seg_dy)
+        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+
+        # ordered projectOnAfter (PolyLine.h:98-119): each stop projects
+        # onto the line at/after the previous stop's position
+        pos = []
+        start_seg = 0
+        last_pos = 0.0
+        for px, py in zip(stops["x"].to_numpy(float), stops["y"].to_numpy(float)):
+            best_d, best_pos, best_seg = np.inf, 0.0, start_seg
+            for si in range(start_seg, len(seg_len)):
+                if seg_len[si] == 0:
+                    continue
+                t = ((px - xs[si]) * seg_dx[si] + (py - ys[si]) * seg_dy[si]) / (
+                    seg_len[si] ** 2
+                )
+                t = min(1.0, max(0.0, t))
+                qx, qy = xs[si] + t * seg_dx[si], ys[si] + t * seg_dy[si]
+                d = np.hypot(px - qx, py - qy)
+                if d < best_d:
+                    best_d, best_pos, best_seg = d, cum[si] + t * seg_len[si], si
+            # cut positions must be monotone: a stop may project earlier
+            # within the restart segment — clamp to the previous cut
+            last_pos = max(best_pos, last_pos)
+            pos.append(last_pos)
+            start_seg = best_seg
+        rows = []
+        sseq = stops["ord"].to_numpy()
+        for i in range(len(pos) - 1):
+            rows.append(
+                (
+                    pdf["trip_id"].iloc[0],
+                    int(sseq[i]),
+                    float(pos[i]),
+                    float(pos[i + 1]),
+                    float(max(0.0, pos[i + 1] - pos[i])),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["trip_id", "stop_seq", "start_pos", "end_pos", "seg_len"]
+        )
+
+    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        both.repartition(n_part, "trip_id")
+        .groupBy("trip_id")
+        .applyInPandas(
+            per_trip,
+            schema=(
+                "trip_id string, stop_seq long, start_pos double, "
+                "end_pos double, seg_len double"
+            ),
+        )
+    )

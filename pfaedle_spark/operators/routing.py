@@ -115,8 +115,15 @@ def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
         return _viterbi_one_trip(pdf, csr)
 
     cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
+    # explicit hash repartition by the group key: AQE's byte-based
+    # coalescing would collapse this tiny-by-bytes but CPU-heavy Python
+    # stage onto one task; an explicit repartition is never coalesced,
+    # and HashPartitioning(trip_id) satisfies the grouping distribution,
+    # so no second shuffle is inserted.
+    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 2
     return (
         candidates.select(*cols)
+        .repartition(n_part, "trip_id")
         .groupBy("trip_id")
         .applyInPandas(solve, schema=_ALIGN_SCHEMA)
     )
@@ -176,6 +183,56 @@ def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict) -> pd.DataFrame:
     )
 
 
+def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame:
+    """R8 routeGreedy2 (``router.cpp:352-398``): chain from the previous
+    chosen candidate — layer 0 takes its min-emission candidate, each
+    later layer takes argmin(transition from previous choice + emission).
+    Cheaper than the global solve (one Dijkstra per layer), same output
+    schema as viterbi_align minus acc optimality."""
+    spark = candidates.sparkSession
+    edges_pdf = edges_directed.select("src", "dst", "length", "level").toPandas()
+    bc = spark.sparkContext.broadcast(edges_pdf)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        csr = build_csr(bc.value)
+        pdf = pdf.sort_values(["seq", "edge_id"], ignore_index=True)
+        seqs = sorted(pdf["seq"].unique())
+        layers = [pdf[pdf["seq"] == s].reset_index(drop=True) for s in seqs]
+        out = []
+        prev_node = None
+        acc = 0.0
+        for lay in layers:
+            em = lay["dist"].to_numpy(np.float64) * C.CAND_PEN_FAC
+            if prev_node is None:
+                score = em
+            else:
+                nodes = lay["cand_node"].to_numpy(np.int64)
+                d = dijkstra(csr, int(prev_node), targets=set(int(n) for n in np.unique(nodes)))
+                score = em + np.array([d.get(int(n), np.inf) for n in nodes])
+            i = int(np.argmin(score))  # rows pre-sorted by edge_id: ties
+            # break toward the smaller edge_id (deterministic)
+            r = lay.iloc[i]
+            acc = acc + float(score[i]) if np.isfinite(score[i]) else float("inf")
+            out.append(
+                (r["trip_id"], int(r["seq"]), r["image_id"], int(r["edge_id"]),
+                 int(r["cand_node"]), float(em[i]), float(acc))
+            )
+            prev_node = int(r["cand_node"])
+        return pd.DataFrame(
+            out,
+            columns=["trip_id", "seq", "image_id", "edge_id", "cand_node", "emission", "acc_cost"],
+        )
+
+    cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
+    n_part = spark.sparkContext.defaultParallelism * 2
+    return (
+        candidates.select(*cols)
+        .repartition(n_part, "trip_id")
+        .groupBy("trip_id")
+        .applyInPandas(solve, schema=_ALIGN_SCHEMA)
+    )
+
+
 def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFrame:
     """R6 exposed as its own operator: cost of the shortest path between
     consecutive rank-1 candidate nodes of each trip, uniform weights.
@@ -216,7 +273,12 @@ def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFra
         "trip_id string, seq long, image_id string, to_image string, "
         "cand_node long, to_node long, path_cost double"
     )
-    out = hops.groupBy("trip_id").applyInPandas(solve, schema=schema)
+    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 2
+    out = (
+        hops.repartition(n_part, "trip_id")
+        .groupBy("trip_id")
+        .applyInPandas(solve, schema=schema)
+    )
     # unreachable (cross-component) hops: surface as SQL NULL, not NaN
     return out.withColumn(
         "path_cost",

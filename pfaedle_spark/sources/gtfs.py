@@ -1,0 +1,164 @@
+"""S1/S5 — GTFS CSV scan + sink with the reference's fixed schemas.
+
+Reference: header-driven CSV with required/optional columns,
+``src/libs/gtfs/src/gtfs/access/feed_reader.cpp:82-169`` (reader) and
+``feed_writter.cpp:11-60,159-185`` (fixed writer headers). Spark:
+``spark.read.csv(header=True)`` against an explicit ``StructType`` per
+table — missing optional columns are added as typed nulls, surplus
+columns are dropped, exactly the reference's defaulting behavior.
+
+GTFS times ("HH:MM:SS", hours may exceed 24) parse to seconds-of-day
+integers (``gtfs/time.cpp`` semantics) — pure column expressions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# fixed GTFS schemas (subset the reference reads; feed.h:107-138)
+SCHEMAS: dict[str, T.StructType] = {
+    "agency": T.StructType(
+        [
+            T.StructField("agency_id", T.StringType()),
+            T.StructField("agency_name", T.StringType()),
+            T.StructField("agency_url", T.StringType()),
+            T.StructField("agency_timezone", T.StringType()),
+        ]
+    ),
+    "stops": T.StructType(
+        [
+            T.StructField("stop_id", T.StringType(), False),
+            T.StructField("stop_name", T.StringType()),
+            T.StructField("stop_lat", T.DoubleType()),
+            T.StructField("stop_lon", T.DoubleType()),
+            T.StructField("zone_id", T.StringType()),
+            T.StructField("parent_station", T.StringType()),
+            T.StructField("platform_code", T.StringType()),
+        ]
+    ),
+    "routes": T.StructType(
+        [
+            T.StructField("route_id", T.StringType(), False),
+            T.StructField("agency_id", T.StringType()),
+            T.StructField("route_short_name", T.StringType()),
+            T.StructField("route_long_name", T.StringType()),
+            T.StructField("route_type", T.IntegerType()),
+        ]
+    ),
+    "trips": T.StructType(
+        [
+            T.StructField("route_id", T.StringType()),
+            T.StructField("service_id", T.StringType()),
+            T.StructField("trip_id", T.StringType(), False),
+            T.StructField("block_id", T.StringType()),
+            T.StructField("shape_id", T.StringType()),
+        ]
+    ),
+    "stop_times": T.StructType(
+        [
+            T.StructField("trip_id", T.StringType(), False),
+            T.StructField("arrival_time", T.StringType()),
+            T.StructField("departure_time", T.StringType()),
+            T.StructField("stop_id", T.StringType()),
+            T.StructField("stop_sequence", T.LongType()),
+            T.StructField("shape_dist_traveled", T.DoubleType()),
+        ]
+    ),
+    "shapes": T.StructType(
+        [
+            T.StructField("shape_id", T.StringType(), False),
+            T.StructField("shape_pt_lat", T.DoubleType()),
+            T.StructField("shape_pt_lon", T.DoubleType()),
+            T.StructField("shape_pt_sequence", T.LongType()),
+            T.StructField("shape_dist_traveled", T.DoubleType()),
+        ]
+    ),
+}
+
+
+def gtfs_time_to_seconds(col) -> F.Column:
+    """'HH:MM:SS' (H can exceed 24) -> seconds-of-day int, null-safe."""
+    parts = F.split(col, ":")
+    return (
+        parts.getItem(0).cast("long") * 3600
+        + parts.getItem(1).cast("long") * 60
+        + parts.getItem(2).cast("long")
+    )
+
+
+def read_table(spark: SparkSession, feed_dir: str, name: str) -> DataFrame:
+    """Read one GTFS table; align to the fixed schema (add missing
+    optional columns as nulls, drop unknown ones, cast types)."""
+    schema = SCHEMAS[name]
+    path = os.path.join(feed_dir, f"{name}.txt")
+    raw = spark.read.csv(path, header=True)  # header-driven, all strings
+    cols = []
+    for field in schema.fields:
+        if field.name in raw.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    out = raw.select(*cols)
+    if name == "stop_times":
+        out = out.withColumn(
+            "arrival_s", gtfs_time_to_seconds(F.col("arrival_time"))
+        ).withColumn("departure_s", gtfs_time_to_seconds(F.col("departure_time")))
+    return out
+
+
+def read_feed(spark: SparkSession, feed_dir: str) -> dict[str, DataFrame]:
+    """Full feed read (only tables present on disk)."""
+    out = {}
+    for name in SCHEMAS:
+        if os.path.exists(os.path.join(feed_dir, f"{name}.txt")):
+            out[name] = read_table(spark, feed_dir, name)
+    return out
+
+
+def write_table(df: DataFrame, feed_dir: str, name: str) -> None:
+    """S5: fixed-header CSV sink (single file per table, like the
+    reference writer; at scale drop the coalesce and write a directory)."""
+    schema = SCHEMAS[name]
+    out = df.select(*[c.name for c in schema.fields if c.name in df.columns])
+    pdf = out.toPandas()
+    os.makedirs(feed_dir, exist_ok=True)
+    pdf.to_csv(os.path.join(feed_dir, f"{name}.txt"), index=False)
+
+
+def synthetic_feed(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Derive a GTFS-shaped feed from the synthetic world (stations ->
+    stops, trips/points -> trips + stop_times) so the CSV round-trip has
+    deterministic content."""
+    from .. import datagen
+
+    st = datagen.stations(spark)
+    stops = st.select(
+        "stop_id",
+        "stop_name",
+        (F.col("y") / 100000.0).alias("stop_lat"),
+        (F.col("x") / 100000.0).alias("stop_lon"),
+        F.lit(None).cast("string").alias("zone_id"),
+        F.lit(None).cast("string").alias("parent_station"),
+        (F.col("true_node_id") % 4).cast("string").alias("platform_code"),
+    )
+    pts = datagen.points(spark, sf_dir)
+    trips = pts.select("trip_id").distinct().select(
+        F.concat(F.lit("route_"), F.substring("trip_id", 6, 10)).alias("route_id"),
+        F.lit("svc1").alias("service_id"),
+        "trip_id",
+        F.lit(None).cast("string").alias("block_id"),
+        F.concat(F.lit("shp_"), F.substring("trip_id", 6, 10)).alias("shape_id"),
+    )
+    stop_times = pts.select(
+        "trip_id",
+        F.lit("08:00:00").alias("arrival_time"),
+        F.lit("08:00:10").alias("departure_time"),
+        F.concat(F.lit("stop_"), (F.col("doc_id") % 9).cast("string")).alias("stop_id"),
+        F.col("seq").alias("stop_sequence"),
+        F.lit(None).cast("double").alias("shape_dist_traveled"),
+    )
+    return {"stops": stops, "trips": trips, "stop_times": stop_times}

@@ -1,0 +1,90 @@
+"""GTFS CSV scan/sink and OSM XML scan (SURVEY §2.1 S1/S2/S3/S5/S6/S7)."""
+
+import json
+import os
+
+from conftest import SF_DIR
+from pfaedle_spark.sources import gtfs, osm
+
+OSM_XML = """<?xml version="1.0"?>
+<osm version="0.6">
+  <node id="1" lat="48.0" lon="7.8"><tag k="railway" v="station"/><tag k="name" v="Hbf"/></node>
+  <node id="2" lat="48.1" lon="7.9"/>
+  <node id="3" lat="48.2" lon="7.7"><tag k="highway" v="bus_stop"/></node>
+  <way id="10"><nd ref="1"/><nd ref="2"/><tag k="railway" v="rail"/></way>
+  <way id="11"><nd ref="2"/><nd ref="3"/><tag k="highway" v="residential"/></way>
+  <relation id="20"><member type="way" ref="10" role="outer"/>
+    <tag k="type" v="route"/><tag k="route" v="train"/></relation>
+</osm>
+"""
+
+
+def test_osm_scan(spark, tmp_path):
+    p = tmp_path / "mini.osm"
+    p.write_text(OSM_XML)
+    tables = osm.read_osm(spark, str(p))
+    nodes = {r.node_id: r for r in tables["nodes"].collect()}
+    assert set(nodes) == {1, 2, 3}
+    assert nodes[1].tags["railway"] == "station" and nodes[1].lat == 48.0
+    ways = {r.way_id: r for r in tables["ways"].collect()}
+    assert list(ways[10].nds) == [1, 2]
+    rels = tables["relations"].collect()
+    assert rels[0].rel_id == 20 and rels[0].members[0].ref == 10
+    assert rels[0].tags["route"] == "train"
+
+
+def test_osm_keep_filter_and_sink(spark, tmp_path):
+    p = tmp_path / "mini.osm"
+    p.write_text(OSM_XML)
+    tables = osm.read_osm(spark, str(p))
+    out = str(tmp_path / "filtered")
+    osm.filtered_osm_sink(tables["nodes"], tables["ways"], {"railway": ["*"]}, out)
+    kept_ways = spark.read.parquet(f"{out}/ways").collect()
+    kept_nodes = spark.read.parquet(f"{out}/nodes").collect()
+    assert [w.way_id for w in kept_ways] == [10]
+    assert sorted(n.node_id for n in kept_nodes) == [1, 2]
+
+
+def test_gtfs_roundtrip(spark, tmp_path):
+    feed = gtfs.synthetic_feed(spark, SF_DIR)
+    fd = str(tmp_path / "feed")
+    for name, df in feed.items():
+        gtfs.write_table(df, fd, name)
+    assert sorted(os.listdir(fd)) == ["stop_times.txt", "stops.txt", "trips.txt"]
+
+    back = gtfs.read_feed(spark, fd)
+    assert set(back) == {"stops", "trips", "stop_times"}
+    # schema fidelity: optional columns present as typed nulls
+    stops = back["stops"]
+    assert [f.name for f in gtfs.SCHEMAS["stops"].fields] == stops.columns
+    assert stops.count() == feed["stops"].count()
+    # time parsing: fixed times parse to seconds-of-day
+    st = back["stop_times"].select("arrival_s", "departure_s").first()
+    assert (st.arrival_s, st.departure_s) == (8 * 3600, 8 * 3600 + 10)
+    # value fidelity through the CSV round trip
+    want = {r.stop_id: r.stop_name for r in feed["stops"].collect()}
+    got = {r.stop_id: r.stop_name for r in stops.collect()}
+    assert got == want
+
+
+def test_gtfs_missing_optional_column(spark, tmp_path):
+    fd = str(tmp_path / "feed2")
+    os.makedirs(fd)
+    with open(f"{fd}/stops.txt", "w") as f:
+        f.write("stop_id,stop_lat,stop_lon\ns1,48.0,7.8\n")
+    stops = gtfs.read_table(spark, fd, "stops")
+    r = stops.first()
+    assert r.stop_id == "s1" and r.stop_name is None and r.stop_lat == 48.0
+
+
+def test_geojson_and_eval_sinks(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (3.0, 4.0, 25.0), (5.0, 6.0, 90.0)], "x double, y double, d_f double"
+    )
+    gj = json.loads(osm.geojson_sink(df, props=["d_f"]))
+    assert len(gj["features"]) == 3
+    assert gj["features"][0]["geometry"]["coordinates"] == [1.0, 2.0]
+    out = str(tmp_path / "hist.csv")
+    osm.eval_csv_sink(df, "d_f", [10.0, 50.0, 100.0], out)
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "bin,n" and len(lines) == 4

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N).
+
+Runs the IDENTICAL flagship matching job on the IDENTICAL input at
+local[8] (N) and local[32] (4N) in separate processes (fresh JVM each),
+and reports images/sec at both plus efficiency = (T_4N / T_N) / 4.
+
+The input is the sf0.1 points table amplified AMP x (deterministic
+replica offsets -> distinct trips, same distribution) so the job is
+dominated by the parallelizable per-trip work, as it would be at
+cluster scale, not by fixed session overhead.
+
+Usage:  python tools/bench_scaling.py [--amp 20] [--update-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from pfaedle_spark.session import get_spark
+from pfaedle_spark import datagen
+from pfaedle_spark.operators import candidates, cells, graph_ops, routing
+
+cores = int(os.environ["SPARK_GRAFT_CPUS"])
+amp = int(os.environ["SPARK_GRAFT_AMP"])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(f"scaling_{{cores}}")
+spark.sparkContext.setLogLevel("ERROR")
+
+# deterministic amplification: replica r shifts trips into new ids and
+# nudges coordinates by a sub-cell offset (same candidate structure)
+pts = datagen.points(spark, sf_dir)
+reps = spark.range(amp).select(F.col("id").alias("rep"))
+pts = (
+    pts.crossJoin(F.broadcast(reps))
+    .select(
+        F.concat("image_id", F.lit("_r"), F.col("rep").cast("string")).alias("image_id"),
+        "doc_id", "phash",
+        (F.col("x") + F.col("rep") * 7.0) .alias("x"),
+        (F.col("y") + F.col("rep") * 11.0).alias("y"),
+        F.concat("trip_id", F.lit("_r"), F.col("rep").cast("string")).alias("trip_id"),
+        "seq",
+    )
+)
+pts = pts.localCheckpoint(eager=True)   # freeze the input: the timed
+                                        # section is the matching job only
+eds = datagen.edges(spark)
+n_images = pts.count()
+
+t0 = time.perf_counter()
+cand = candidates.candidate_edges(pts, eds)
+aligned = routing.viterbi_align(cand, graph_ops.write_odir_edges(eds))
+tiles = cells.tile_assign(aligned.join(pts.select("image_id", "x", "y"), "image_id"))
+tiles.write.format("noop").mode("overwrite").save()
+wall = time.perf_counter() - t0
+print(json.dumps({{"cores": cores, "n_images": n_images, "wall_s": round(wall, 2),
+                   "images_per_sec": round(n_images / wall, 1)}}))
+spark.stop()
+"""
+
+
+def run(cores: int, amp: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_AMP=str(amp))
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--amp", type=int, default=24)
+    ap.add_argument("--n", type=int, default=4, help="small parallelism (N)")
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--update-baseline", action="store_true")
+    args = ap.parse_args()
+
+    # this sandbox VM delivers linear CPU up to ~16 concurrent processes
+    # (pure-python calibration in BASELINE.md); N=4 -> 4N=16 measures the
+    # engine's scaling, not the hypervisor's oversubscription. Min over
+    # trials rejects the VM's transient steal spikes.
+    n_small, n_big = args.n, args.n * 4
+    r8 = min((run(n_small, args.amp) for _ in range(args.trials)),
+             key=lambda r: r["wall_s"])
+    r32 = min((run(n_big, args.amp) for _ in range(args.trials)),
+              key=lambda r: r["wall_s"])
+    eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4.0
+    result = {
+        "metric": f"scaling efficiency N->4N (local[{n_small}] -> local[{n_big}])",
+        "n_images": r8["n_images"],
+        f"local{n_small}": r8,
+        f"local{n_big}": r32,
+        "efficiency": round(eff, 3),
+        "passes_0.8": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    if args.update_baseline:
+        table = f"""
+## Measured scaling evidence (bench_scaling.py, sf0.1 x{args.amp} amplification)
+
+| run | input rows | parallelism | wall time (s) | images/sec | scaling eff. |
+|---|---|---|---|---|---|
+| flagship matching | {r8['n_images']} | local[{n_small}] | {r8['wall_s']} | {r8['images_per_sec']} | — |
+| flagship matching | {r32['n_images']} | local[{n_big}] | {r32['wall_s']} | {r32['images_per_sec']} | {round(eff, 3)} (target >= 0.8) |
+"""
+        with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+            f.write(table)
+
+
+if __name__ == "__main__":
+    main()
