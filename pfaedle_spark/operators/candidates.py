@@ -48,9 +48,16 @@ def candidate_edges(
     explicit edge_id tie-break makes output deterministic across
     partitionings (reference PQ tie-break risk, SURVEY §7.1).
     """
-    pc = cells.point_cells(
-        points.select("image_id", "doc_id", "trip_id", "seq", "x", "y"), radius
-    )
+    pts = points.select("image_id", "doc_id", "trip_id", "seq", "x", "y")
+    # the heavy map side (cell explode + distToSegment) runs at the
+    # input's partitioning; a small-file scan gives 1 partition and
+    # serializes it — spread an under-partitioned input across cores.
+    # (At cluster scale the ingest is already thousands of partitions
+    # and this is a no-op.)
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < par:
+        pts = pts.repartition(par * 2)
+    pc = cells.point_cells(pts, radius)
     ec = cells.edge_cells(edges)
 
     if broadcast_edges:

@@ -25,11 +25,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small shuffles aggressively: size partitions by bytes,
-        # not by the cluster's slot count — tiny stages collapse to a few
-        # tasks locally, while at 100 TB the 64 MB advisory still yields
-        # thousands of well-sized tasks.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE coalescing, parallelism-first (the default): KB-scale
+        # shuffles collapse to one task (minPartitionSize floor), while
+        # CPU-heavy shuffles keep one partition per core — byte-first
+        # sizing (parallelismFirst=false) was measured to serialize the
+        # candidate-join stages and cap scaling efficiency at ~0.47.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
