@@ -252,6 +252,11 @@ def _q_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gtfs_ops.read_restrictions(rels)
 
 
+def _q_netgraph_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), datagen.edges(spark))
+    return gtfs_ops.netgraph_usage(cand.filter("rank = 1"))
+
+
 def _q_greedy2_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     eds = datagen.edges(spark)
     cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
@@ -358,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_refcount": _q_shape_refcount,
         "edge_lines": _q_edge_lines,
         "restrictions": _q_restrictions,
+        "netgraph_usage": _q_netgraph_usage,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
         "df_histogram": _q_df_histogram,
@@ -478,6 +484,7 @@ edges_pruned AS (
         "shape_refcount": gtfs_ops.shape_refcount_sql(),
         "edge_lines": gtfs_ops.edge_lines_sql(),
         "restrictions": gtfs_ops.restrictions_sql(),
+        "netgraph_usage": gtfs_ops.netgraph_usage_sql(candidates.candidates_cte_sql()),
         # greedy2_align / frechet_eval / df_histogram / segmentize:
         # per-trip sequential scans (chained Dijkstra, Fréchet DP,
         # projectOnAfter) — python-reference oracles in tests/test_evalmetrics.py

@@ -135,23 +135,59 @@ shingles AS (
 # MinHash signatures + LSH bands
 # --------------------------------------------------------------------
 
+def perm_constants(num_perms: int = NUM_PERMS) -> list[tuple[int, int]]:
+    """Independent per-perm (a_i, b_i) derived from md5 — computed here
+    with hashlib, bit-identical to the engines' md5 (NOT multiples of a
+    shared base: a_i = c*i would make every permuted hash a multiple of
+    one value and collapse all minima onto a single shared shingle)."""
+    import hashlib
+
+    def hh(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P31
+
+    return [(hh(f"{i}a") % (P31 - 1) + 1, hh(f"{i}b")) for i in range(num_perms)]
+
+
 def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
     """(doc_id, perm, minhash): min over shingles of (a_i*h + b_i) mod p.
 
-    One explode (num_perms x shingles) + map-side-combinable min agg.
+    Array-native: the whole signature computes in one narrow projection
+    (shingle array -> hash array -> per-perm array_min) — zero shuffle;
+    the old explode(num_perms x shingles)+groupBy plan shuffled
+    |docs| x |shingles| x num_perms rows for the same result.
     """
-    sh = shingles(docs)
-    perms = sh.withColumn("perm", F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))))
-    # independent per-perm constants from md5 (NOT multiples of a shared
-    # base: a_i = c*i would make every permuted hash a multiple of one
-    # value and collapse all minima onto a single shared shingle).
-    a = h31(F.concat(F.col("perm").cast("string"), F.lit("a"))) % (P31 - 1) + 1
-    b = h31(F.concat(F.col("perm").cast("string"), F.lit("b")))
-    hp = (a * F.col("sh_hash") + b) % P31
+    toks = F.split(F.col("text"), " ")
+    k = SHINGLE_K
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    sh_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+    hs = F.transform(sh_arr, lambda s: h31(s))
+    consts = perm_constants(num_perms)
+    pa = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+    pb = F.array(*[F.lit(b).cast("long") for _, b in consts])
+    # single fold over the hash array: each shingle is md5-hashed ONCE
+    # and updates all num_perms minima (a per-perm array_min would
+    # recompute the md5 array once per perm — measured 4x slower).
+    init = F.array_repeat(F.lit(P31).cast("long"), num_perms)
+    sigs = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda ac, i: F.least(
+                ac, (h * F.element_at(pa, i + 1) + F.element_at(pb, i + 1)) % P31
+            ),
+        ),
+    )
     return (
-        perms.withColumn("hp", hp)
-        .groupBy("doc_id", "perm")
-        .agg(F.min("hp").alias("minhash"))
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.posexplode(sigs).alias("perm", "minhash"))
     )
 
 

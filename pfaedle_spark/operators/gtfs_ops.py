@@ -95,6 +95,30 @@ FROM edges WHERE level < 3
 
 
 # --------------------------------------------------------------------
+# netgraph — output overlay graph (edges annotated with usage)
+# --------------------------------------------------------------------
+
+def netgraph_usage(assigned: DataFrame) -> DataFrame:
+    """Reference ``shape_builder.cpp:771-811``: the netgraph annotates
+    every edge with the trips that use it. Input: per-observation chosen
+    edge (greedy rank-1 or viterbi output). Output:
+    (edge_id, n_trips, n_images)."""
+    return assigned.groupBy("edge_id").agg(
+        F.countDistinct("trip_id").alias("n_trips"),
+        F.count("*").cast("long").alias("n_images"),
+    )
+
+
+def netgraph_usage_sql(cand_cte: str) -> str:
+    """Builds on the candidates oracle CTE (rank-1 assignment)."""
+    return f"""{cand_cte}
+SELECT edge_id, COUNT(DISTINCT trip_id) AS n_trips, COUNT(*) AS n_images
+FROM cand WHERE rank = 1
+GROUP BY edge_id
+"""
+
+
+# --------------------------------------------------------------------
 # F10 — restriction relations
 # --------------------------------------------------------------------
 

@@ -59,6 +59,39 @@ def build_csr(edges_pdf: pd.DataFrame, level_punish: bool = True) -> dict:
     return {"indptr": indptr, "dst": dst, "cost": cost, "n": n}
 
 
+# R9 route cache (reference ``router::cache``/``getCachedHops``,
+# ``router.cpp:626-688`` — per-THREAD there, per-python-WORKER here).
+# Pure memoization: results are identical with or without it. Keys
+# carry the CSR identity so different graphs never collide; bounded
+# size with whole-cache eviction (the reference clears per run).
+_CSR_CACHE: dict = {}
+_ROUTE_CACHE: dict = {}
+_ROUTE_CACHE_MAX = 200_000
+
+
+def csr_for_broadcast(bc, level_punish: bool = True) -> dict:
+    """Build (or reuse) the CSR for a broadcast edge table — once per
+    python worker, not once per group."""
+    key = (id(bc.value), level_punish)
+    if key not in _CSR_CACHE:
+        if len(_CSR_CACHE) > 4:
+            _CSR_CACHE.clear()
+        _CSR_CACHE[key] = build_csr(bc.value, level_punish=level_punish)
+    return _CSR_CACHE[key]
+
+
+def cached_dijkstra(csr: dict, source: int, targets: set[int]) -> dict[int, float]:
+    """Memoized multi-target Dijkstra (exact-key memo)."""
+    key = (id(csr), source, tuple(sorted(targets)))
+    hit = _ROUTE_CACHE.get(key)
+    if hit is None:
+        if len(_ROUTE_CACHE) > _ROUTE_CACHE_MAX:
+            _ROUTE_CACHE.clear()
+        hit = dijkstra(csr, source, targets=targets)
+        _ROUTE_CACHE[key] = hit
+    return hit
+
+
 def dijkstra(csr: dict, source: int, targets: set[int] | None = None) -> dict[int, float]:
     """Single-source shortest path with deterministic (d, node)
     tie-break (reference PQ order, EDijkstra.h:50-53). Early exit once
@@ -111,8 +144,7 @@ def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     bc = spark.sparkContext.broadcast(edges_pdf)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        csr = build_csr(bc.value)
-        return _viterbi_one_trip(pdf, csr)
+        return _viterbi_one_trip(pdf, csr_for_broadcast(bc))
 
     cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
     # explicit hash repartition by the group key: AQE's byte-based
@@ -150,7 +182,7 @@ def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict) -> pd.DataFrame:
         trans = np.full((len(prev_l), len(cur_l)), np.inf)
         tgt = set(int(t) for t in np.unique(cur_nodes))
         for un in np.unique(prev_nodes):
-            d = dijkstra(csr, int(un), targets=tgt)
+            d = cached_dijkstra(csr, int(un), tgt)
             row = np.array([d.get(int(cn), np.inf) for cn in cur_nodes])
             trans[prev_nodes == un, :] = row
         emission = cur_l["dist"].to_numpy(np.float64) * C.CAND_PEN_FAC
@@ -194,7 +226,7 @@ def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     bc = spark.sparkContext.broadcast(edges_pdf)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        csr = build_csr(bc.value)
+        csr = csr_for_broadcast(bc)
         pdf = pdf.sort_values(["seq", "edge_id"], ignore_index=True)
         seqs = sorted(pdf["seq"].unique())
         layers = [pdf[pdf["seq"] == s].reset_index(drop=True) for s in seqs]
@@ -207,7 +239,7 @@ def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
                 score = em
             else:
                 nodes = lay["cand_node"].to_numpy(np.int64)
-                d = dijkstra(csr, int(prev_node), targets=set(int(n) for n in np.unique(nodes)))
+                d = cached_dijkstra(csr, int(prev_node), set(int(n) for n in np.unique(nodes)))
                 score = em + np.array([d.get(int(n), np.inf) for n in nodes])
             i = int(np.argmin(score))  # rows pre-sorted by edge_id: ties
             # break toward the smaller edge_id (deterministic)
@@ -257,14 +289,14 @@ def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFra
     )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        csr = build_csr(bc.value, level_punish=False)
-        costs = []
-        cache: dict[int, dict[int, float]] = {}
-        for _, r in pdf.iterrows():
-            u, v = int(r["cand_node"]), int(r["to_node"])
-            if u not in cache:
-                cache[u] = dijkstra(csr, u, targets=set(pdf.loc[pdf.cand_node == u, "to_node"].astype(int)))
-            costs.append(cache[u].get(v, np.nan))
+        csr = csr_for_broadcast(bc, level_punish=False)
+        us = pdf["cand_node"].to_numpy(np.int64)
+        vs = pdf["to_node"].to_numpy(np.int64)
+        costs = np.full(len(pdf), np.nan)
+        for u in np.unique(us):  # one multi-target Dijkstra per source
+            mask = us == u
+            d = cached_dijkstra(csr, int(u), set(int(v) for v in np.unique(vs[mask])))
+            costs[mask] = [d.get(int(v), np.nan) for v in vs[mask]]
         out = pdf[["trip_id", "seq", "image_id", "to_image", "cand_node", "to_node"]].copy()
         out["path_cost"] = costs
         return out

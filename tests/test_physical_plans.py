@@ -1,0 +1,71 @@
+"""Physical-plan audits: the plans we want, not just plans that pass.
+
+Asserts the properties SCALING.md promises: relational hot paths stay
+JVM-side (no BatchEvalPython / row-at-a-time Python), column pruning
+reaches the parquet scan, the graph side of spatial joins broadcasts,
+and narrow ops stay shuffle-free.
+"""
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+from conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _q(name, spark):
+    return entrymod.queries()[name](spark, SF_DIR)
+
+
+def test_relational_queries_have_no_python_eval(spark):
+    for name in [
+        "points_derive", "tile_assign", "edge_cells", "candidates_knn",
+        "snap_stations", "trip_hops", "cum_dist", "node_degrees",
+        "exact_dedup", "minhash_pairs", "text_stats", "lang_id",
+        "ann_brute", "maxspeed_parse", "name_similarity", "tiles_payload",
+    ]:
+        plan = plan_of(_q(name, spark))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "PythonUDF" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_tile_assign_is_narrow(spark):
+    """Pure projection: no exchange, no aggregate — pushdown-friendly."""
+    plan = plan_of(_q("tile_assign", spark))
+    assert "Exchange" not in plan
+
+
+def test_points_scan_prunes_columns(spark):
+    """The documents scan for points must not read `text`/`lang` etc."""
+    plan = plan_of(_q("points_derive", spark))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "text" not in scan[0] and "lang" not in scan[0]
+
+
+def test_candidates_joins_broadcast_graph_side(spark):
+    """The edge (graph) side of the spatial join broadcasts — the big
+    observation table is never shuffled for the join itself."""
+    plan = plan_of(_q("candidates_knn", spark))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_exact_dedup_has_partial_aggregation(spark):
+    """Map-side combine before the shuffle (HashAggregate x2)."""
+    plan = plan_of(_q("exact_dedup", spark))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_grouped_dp_keeps_explicit_partitioning(spark):
+    """The Viterbi stage repartitions by the group key (visible as a
+    user-specified repartition that AQE may not coalesce away)."""
+    plan = plan_of(_q("viterbi_align", spark))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(trip_id" in plan
