@@ -56,7 +56,23 @@ def build_csr(edges_pdf: pd.DataFrame, level_punish: bool = True) -> dict:
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, src + 1, 1)
     indptr = np.cumsum(indptr)
-    return {"indptr": indptr, "dst": dst, "cost": cost, "n": n}
+    # component labels (undirected): the reference's component-infinity
+    # shortcut (router.cpp:598-599) — a cross-component target is +inf
+    # WITHOUT exploring the whole component first.
+    comp = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while comp[i] != i:
+            comp[i] = comp[comp[i]]
+            i = comp[i]
+        return i
+
+    for u, v in zip(src, dst):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            comp[max(ru, rv)] = min(ru, rv)
+    comp = np.array([find(i) for i in range(n)], dtype=np.int64)
+    return {"indptr": indptr, "dst": dst, "cost": cost, "n": n, "comp": comp}
 
 
 # R9 route cache (reference ``router::cache``/``getCachedHops``,
@@ -82,6 +98,12 @@ def csr_for_broadcast(bc, level_punish: bool = True) -> dict:
 
 def cached_dijkstra(csr: dict, source: int, targets: set[int]) -> dict[int, float]:
     """Memoized multi-target Dijkstra (exact-key memo)."""
+    comp = csr.get("comp")
+    if comp is not None:  # component-infinity shortcut (R6)
+        sc = comp[source]
+        targets = {t for t in targets if comp[t] == sc}
+        if not targets:
+            return {}
     key = (id(csr), source, tuple(sorted(targets)))
     hit = _ROUTE_CACHE.get(key)
     if hit is None:

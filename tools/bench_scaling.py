@@ -37,8 +37,10 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark(f"scaling_{{cores}}")
 spark.sparkContext.setLogLevel("ERROR")
 
-# deterministic amplification: replica r shifts trips into new ids and
-# nudges coordinates by a sub-cell offset (same candidate structure)
+# deterministic amplification: replica r becomes its own set of trips
+# spread across the plane (large coprime offsets mod the world size),
+# so replicas hit DIFFERENT cells/candidates — amplified work is real
+# work, not route-cache hits.
 pts = datagen.points(spark, sf_dir)
 reps = spark.range(amp).select(F.col("id").alias("rep"))
 pts = (
@@ -46,8 +48,8 @@ pts = (
     .select(
         F.concat("image_id", F.lit("_r"), F.col("rep").cast("string")).alias("image_id"),
         "doc_id", "phash",
-        (F.col("x") + F.col("rep") * 7.0) .alias("x"),
-        (F.col("y") + F.col("rep") * 11.0).alias("y"),
+        ((F.col("x") + F.col("rep") * 977.0) % 65536.0).alias("x"),
+        ((F.col("y") + F.col("rep") * 1409.0) % 65536.0).alias("y"),
         F.concat("trip_id", F.lit("_r"), F.col("rep").cast("string")).alias("trip_id"),
         "seq",
     )
