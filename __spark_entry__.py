@@ -1,8 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship pipeline smoke at sf0.001.
-``queries()``   — one callable per implemented operator (SURVEY.md §2).
-``oracle_sql()``— DuckDB-equivalent SQL per query (correctness gate).
+``queries()``   — one callable per implemented operator (46 queries;
+                  the SURVEY.md §2 map is COVERAGE.md).
+``oracle_sql()``— DuckDB-equivalent SQL per query (39 bit-identical
+                  oracles; the 7 inherently sequential per-trip ops —
+                  Viterbi, greedy2, Fréchet, segmentize, iterative
+                  contraction, Douglas-Peucker — carry independent
+                  python-reference oracles in tests/ instead).
 
 The synthetic image+caption table (BASELINE.json input_hint) is derived
 deterministically from the driver's ``documents`` parquet via pure

@@ -64,3 +64,18 @@ def test_every_point_has_candidates(spark):
     # grid spacing 2048 m, radius 1500 m: nearly every in-grid point has a
     # candidate; points beyond the last grid row/col (y >= 63488+1500) may not.
     assert n_with >= 0.9 * n_pts
+
+
+def test_salted_candidate_join_is_semantically_identical(spark):
+    """North rule: explicit salting for hot cells. Salting s-ways
+    replicates the edge side and splits each hot cell across s
+    composite keys — the result rows must be EXACTLY the unsalted ones."""
+    pts = datagen.points(spark, SF_DIR)
+    eds = datagen.edges(spark)
+    plain = candidates.candidate_edges(pts, eds).collect()
+    salted = candidates.candidate_edges(pts, eds, salt=4).collect()
+    key = lambda r: (r.image_id, r.rank)
+    assert sorted(map(key, plain)) == sorted(map(key, salted))
+    pv = {(r.image_id, r.rank): (r.edge_id, r.dist) for r in plain}
+    sv = {(r.image_id, r.rank): (r.edge_id, r.dist) for r in salted}
+    assert pv == sv
