@@ -101,7 +101,10 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     shuffle; the only shuffle is the final DISTINCT.
     """
     toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - k)  # empty when size < k
+    # guard: sequence(0, -n) steps BACKWARD in Spark (default step -1),
+    # yielding [0,-1,...] and element_at(toks, 0) => INVALID_ARRAY_INDEX.
+    # Filter short docs instead (the DuckDB oracle filters LEN(toks)>=k).
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -109,7 +112,8 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
         .withColumn("sh_hash", h31(F.col("shingle")))
     )
@@ -378,8 +382,10 @@ per_bit AS (
   GROUP BY doc_id, b.b
 ),
 sims AS (
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT (-> float64 in pandas);
+  -- Spark returns int64 — the driver hash compares dtypes, so pin BIGINT.
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
   FROM per_bit GROUP BY doc_id
 )"""
 

@@ -83,16 +83,28 @@ def build_csr(edges_pdf: pd.DataFrame, level_punish: bool = True) -> dict:
 _CSR_CACHE: dict = {}
 _ROUTE_CACHE: dict = {}
 _ROUTE_CACHE_MAX = 200_000
+_CSR_TOKEN = 0  # monotonically increasing: route-cache keys carry this
+                # token, NOT id(csr) — a dict freed after eviction can be
+                # re-allocated at the same address, aliasing stale entries.
 
 
 def csr_for_broadcast(bc, level_punish: bool = True) -> dict:
     """Build (or reuse) the CSR for a broadcast edge table — once per
     python worker, not once per group."""
-    key = (id(bc.value), level_punish)
+    global _CSR_TOKEN
+    # worker-side Broadcasts carry a stable spill path; fall back to the
+    # driver-side object id (stable for the lifetime of the broadcast
+    # because the Broadcast handle itself is kept alive by the closure)
+    bkey = getattr(bc, "_path", None) or id(bc)
+    key = (bkey, level_punish)
     if key not in _CSR_CACHE:
         if len(_CSR_CACHE) > 4:
             _CSR_CACHE.clear()
-        _CSR_CACHE[key] = build_csr(bc.value, level_punish=level_punish)
+            _ROUTE_CACHE.clear()  # route entries reference evicted CSRs
+        csr = build_csr(bc.value, level_punish=level_punish)
+        _CSR_TOKEN += 1
+        csr["token"] = _CSR_TOKEN
+        _CSR_CACHE[key] = csr
     return _CSR_CACHE[key]
 
 
@@ -104,7 +116,7 @@ def cached_dijkstra(csr: dict, source: int, targets: set[int]) -> dict[int, floa
         targets = {t for t in targets if comp[t] == sc}
         if not targets:
             return {}
-    key = (id(csr), source, tuple(sorted(targets)))
+    key = (csr.get("token", id(csr)), source, tuple(sorted(targets)))
     hit = _ROUTE_CACHE.get(key)
     if hit is None:
         if len(_ROUTE_CACHE) > _ROUTE_CACHE_MAX:
