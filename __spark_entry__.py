@@ -30,6 +30,7 @@ from pfaedle_spark.operators import (
     candidates,
     cells,
     dedup,
+    edge_routing,
     evalmetrics,
     graph_ops,
     graph_passes,
@@ -262,6 +263,27 @@ def _q_netgraph_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gtfs_ops.netgraph_usage(cand.filter("rank = 1"))
 
 
+def _q_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 full cost vector as a relational edge-graph table (every term
+    — level punish, full-turn angle test, oneway/restriction violation,
+    line-simi meters, pass-thru-station — bit-checked vs DuckDB)."""
+    eds = datagen.edges(spark)
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, eds))
+    return edge_routing.turn_transitions(eds, restr, datagen.nodes(spark))
+
+
+def _q_restricted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2+J4: edge-based Dijkstra with enforced turn restrictions;
+    oracle = unrolled Bellman-Ford over the same transition table."""
+    return edge_routing.restricted_paths(spark)
+
+
+def _q_line_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineSimi/statSimi 3-component routing-attribute match per edge
+    (routing_attributes.h:32-52 via comp.h:18-101)."""
+    return edge_routing.line_cmp(datagen.edges(spark)).select("edge_id", "cmp")
+
+
 def _q_greedy2_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     eds = datagen.edges(spark)
     cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
@@ -368,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_refcount": _q_shape_refcount,
         "edge_lines": _q_edge_lines,
         "restrictions": _q_restrictions,
+        "turn_transitions": _q_turn_transitions,
+        "restricted_paths": _q_restricted_paths,
+        "line_similarity": _q_line_similarity,
         "netgraph_usage": _q_netgraph_usage,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
@@ -489,6 +514,10 @@ edges_pruned AS (
         "shape_refcount": gtfs_ops.shape_refcount_sql(),
         "edge_lines": gtfs_ops.edge_lines_sql(),
         "restrictions": gtfs_ops.restrictions_sql(),
+        "turn_transitions": edge_routing.turn_transitions_sql(),
+        "restricted_paths": edge_routing.restricted_paths_sql(),
+        "line_similarity": edge_routing.transitions_ctes()
+        + " SELECT edge_id, cmp FROM ecmp",
         "netgraph_usage": gtfs_ops.netgraph_usage_sql(candidates.candidates_cte_sql()),
         # greedy2_align / frechet_eval / df_histogram / segmentize:
         # per-trip sequential scans (chained Dijkstra, Fréchet DP,

@@ -106,6 +106,56 @@ def stat_simi_sql(a: str, b: str) -> str:
   ELSE 0.0 END"""
 
 
+def line_simi(a: Column, b: Column) -> Column:
+    """Transit-line-name similarity in {0.0, 1.0} (reference
+    ``comp.h:62-101``) — statSimi minus the relative-edit-distance
+    clause: exact match or prefix/suffix with adjacent space."""
+    exact = a == b
+    empty = (F.length(a) == 0) | (F.length(b) == 0)
+    pre_a = b.startswith(F.concat(a, F.lit(" ")))
+    suf_a = b.endswith(F.concat(F.lit(" "), a))
+    pre_b = a.startswith(F.concat(b, F.lit(" ")))
+    suf_b = a.endswith(F.concat(F.lit(" "), b))
+    return (
+        F.when(exact, F.lit(1.0))
+        .when(empty, F.lit(0.0))
+        .when(pre_a | suf_a | pre_b | suf_b, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def _presuf_neutral(a: str, b: str) -> str:
+    """a begins or ends with b + adjacent space — SUBSTRING form that
+    parses identically in Spark SQL and DuckDB (no STARTS_WITH/startswith
+    naming divergence)."""
+    return (
+        f"(LENGTH({a}) > LENGTH({b}) + 1 AND ("
+        f"SUBSTRING({a}, 1, LENGTH({b}) + 1) = {b} || ' ' OR "
+        f"SUBSTRING({a}, LENGTH({a}) - LENGTH({b}), LENGTH({b}) + 1) = ' ' || {b}))"
+    )
+
+
+def line_simi_neutral_sql(a: str, b: str) -> str:
+    """lineSimi as dialect-neutral SQL (valid Spark SQL AND DuckDB)."""
+    return f"""CASE
+  WHEN {a} = {b} THEN 1.0
+  WHEN LENGTH({a}) = 0 OR LENGTH({b}) = 0 THEN 0.0
+  WHEN {_presuf_neutral(a, b)} OR {_presuf_neutral(b, a)} THEN 1.0
+  ELSE 0.0 END"""
+
+
+def stat_simi_neutral_sql(a: str, b: str) -> str:
+    """statSimi (comp.h:18-60, editDist/max-length variant) as
+    dialect-neutral SQL."""
+    return f"""CASE
+  WHEN {a} = {b} THEN 1.0
+  WHEN LENGTH({a}) = 0 OR LENGTH({b}) = 0 THEN 0.0
+  WHEN {_presuf_neutral(a, b)} OR {_presuf_neutral(b, a)} THEN 1.0
+  WHEN CAST(LEVENSHTEIN({a}, {b}) AS DOUBLE)
+         / GREATEST(LENGTH({a}), LENGTH({b})) < 0.05 THEN 1.0
+  ELSE 0.0 END"""
+
+
 def prefix_edit_dist(a: Column, b: Column) -> Column:
     """min over prefixes p of b of levenshtein(a, p)."""
     return F.array_min(

@@ -1,0 +1,544 @@
+"""R2/R3/J4 — edge-based routing with turn costs and enforced
+turn restrictions.
+
+Reference semantics (re-expressed, not ported):
+
+* R2 edge-based Dijkstra — the reference settles *edges*, not nodes,
+  precisely so that turn costs and (via, from, to) restrictions can be
+  applied per transition (``util/graph/EDijkstra.h:190-418``).
+* R3 full cost vector — per-meter level punish x8, full-turn punish
+  (angle test via ``angSmaller``/``innerProd``, ``Geo.h:797-817`` +
+  ``router/misc.h:140-151``), oneway-violation meters, line-similarity
+  meters, no-lines meters, pass-through-station punish; collapsed to a
+  scalar with the config weights (``router/misc.h:75-137``; shipped
+  defaults ``pfaedle.cfg:377-419``).
+* J4 restriction enforcement — a restricted (via, from, to) transition
+  is penalized like a wrong-way oneway traversal
+  (``router/router.cpp:105-115``, ``trgraph/restrictor.cpp:11-58``):
+  soft by default (data robustness), optionally hard (+inf/absent).
+
+Spark-first design: the *entire* cost model is a relational
+``turn_transitions`` table — directed-edge self-join on the via node,
+every cost term a JVM-side column expression built from ONE
+dialect-neutral SQL string that both Spark (``F.expr``) and the DuckDB
+oracle evaluate, so every term is bit-identically checkable. The
+Dijkstra kernel then runs over the broadcast transition CSR inside
+``applyInPandas`` groups — same axis the reference parallelizes with
+OpenMP threads.
+
+At 100 TB the transitions table is graph-sized (scales with geography,
+not with the observation/image table), so broadcasting it follows the
+same budget argument as the node CSR in ``routing.py``.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+from ..functions import strings
+from . import gtfs_ops
+
+# --- config weights (pfaedle.cfg:377-419 shipped defaults; field names
+#     mirror routing_options, router/misc.h:35-50) -----------------------
+OPTS = {
+    "level_punish": [1.0, 1.25, 1.5, 2.0, 2.5, 3.5, 5.0, 7.0],  # routing_lvl{0..7}_fac
+    "full_turn_punish": 3000.0,       # routing_full_turn_punish
+    "full_turn_angle": 100.0,         # routing_full_turn_angle (degrees)
+    "pass_thru_station_punish": 100.0,  # routing_pass_thru_station_punish
+    "oneway_punish_fac": 1.0,         # routing_one_way_meter_punish_fac
+    "oneway_edge_punish": 0.0,        # misc.h default (no per-edge punish)
+    "line_unmatched_punish_fac": 1.0,  # routing_line_unmatched_punish_fac
+    "no_lines_punish_fac": 0.0,       # routing_no_lines_punish_fac (cfg: off)
+}
+
+THIRD = 0.333333333  # routing_attributes.h:40-47 uses this literal
+SIMI_EPS = 0.0001    # router.cpp:116 "cur < 0.0001 => perfect match"
+
+# route attributes of the synthetic query trip (routing_attributes:
+# short_name / from / to); matches the synthetic line l10 and a subset
+# of the from/to stop names so every simi component is exercised.
+RATTRS = {"short_name": "l10", "from": "st 3", "to": "st 5"}
+
+REV_OFF = 1 << 40  # reverse-copy edge-id offset (same stride as graph_ops)
+
+# restricted_paths query shape: sub-grid + source/target node sets
+SUB_N = 8
+SOURCE_NODES = [0, 33, 99, 132]   # includes restriction via nodes (s % 11 == 0)
+TARGET_NODES = [231, 100, 66]
+BF_ROUNDS = 170  # oracle Bellman-Ford unroll: provable upper bound on
+                 # optimal path transitions in the 8x8 sub-grid — any
+                 # optimum costs <= ~16 transitions x 21.5k (worst
+                 # Manhattan route), every transition costs >= 2048, so
+                 # >= 169 transitions can never be optimal
+
+
+def _cos_full_turn(opts: dict) -> float:
+    # theta < angle  <=>  cos(theta) > cos(angle)  for theta in [0, 180]:
+    # lets the angle test run on dot products + sqrt only (bit-stable
+    # across engines; acos is not).
+    return math.cos(math.radians(opts["full_turn_angle"]))
+
+
+# --------------------------------------------------------------------
+# directed edge states
+# --------------------------------------------------------------------
+
+def directed_full(edges: DataFrame) -> DataFrame:
+    """Reverse copy for EVERY edge (unlike graph_ops.write_odir_edges,
+    which skips oneways): the reverse of a oneway is kept but flagged
+    ``against_oneway`` and penalized — the reference models wrong-way
+    travel as oneWay==2 with a per-meter punish, not as a missing edge
+    (``edge_payload.h:47-139``, ``router.cpp:60``), for robustness
+    against OSM data errors."""
+    fwd = edges.select(
+        "edge_id", "src", "dst", "x1", "y1", "x2", "y2", "level", "length",
+        F.lit(False).alias("against_oneway"),
+    )
+    rev = edges.select(
+        (F.col("edge_id") + REV_OFF).alias("edge_id"),
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("x2").alias("x1"),
+        F.col("y2").alias("y1"),
+        F.col("x1").alias("x2"),
+        F.col("y1").alias("y2"),
+        "level",
+        "length",
+        F.col("oneway").alias("against_oneway"),
+    )
+    return fwd.unionByName(rev)
+
+
+def _directed_full_cte(edge_src: str = "edges") -> str:
+    return f"""
+dedges AS (
+  SELECT edge_id, src, dst, x1, y1, x2, y2, level, length,
+         FALSE AS against_oneway
+  FROM {edge_src}
+  UNION ALL
+  SELECT edge_id + {REV_OFF}, dst, src, x2, y2, x1, y1, level, length,
+         oneway
+  FROM {edge_src}
+)"""
+
+
+# --------------------------------------------------------------------
+# transit-line match cost per edge (transitLineCmp, router.cpp:105-125)
+# --------------------------------------------------------------------
+
+def _line_cur_sql(rattrs: dict) -> str:
+    """Per-line simi cost ``cur`` (routing_attributes.h:32-52): start at
+    1, subtract 1/3 per matching component. Literal rattrs are folded at
+    build time (empty component => unconditional subtract, as the
+    reference short-circuits on ``short_name.empty()`` etc.)."""
+    terms = []
+    sn = rattrs["short_name"].replace("'", "''")
+    if not rattrs["short_name"]:
+        terms.append(f"{THIRD!r}")
+    else:
+        simi = strings.line_simi_neutral_sql("line_name", f"'{sn}'")
+        terms.append(f"CASE WHEN ({simi}) > 0.5 THEN {THIRD!r} ELSE 0.0 END")
+    for attr, col in (("to", "to_stop"), ("from", "from_stop")):
+        val = rattrs[attr].replace("'", "''")
+        if not rattrs[attr]:
+            terms.append(f"{THIRD!r}")
+        else:
+            simi = strings.stat_simi_neutral_sql(col, f"'{val}'")
+            terms.append(
+                f"CASE WHEN LENGTH({col}) = 0 OR ({simi}) > 0.5"
+                f" THEN {THIRD!r} ELSE 0.0 END"
+            )
+    return "1.0 - " + " - ".join(terms)
+
+
+_LINE_CMP_AGG = (
+    f"CASE WHEN MIN(cur) < {SIMI_EPS!r} THEN 0.0 ELSE MIN(cur) END"
+)  # == the reference's early-return-0 on a perfect line match
+
+
+def line_cmp(edges: DataFrame, rattrs: dict = RATTRS) -> DataFrame:
+    """(edge_id, cmp) per *undirected* edge: min over the edge's lines of
+    the 3-component simi cost; clamped to 0 on perfect match. Edges
+    without lines are absent (downstream coalesces to 1.0 — the
+    reference's ``best = 1`` initial)."""
+    lines = gtfs_ops.edge_lines(edges)
+    cur = lines.withColumn("cur", F.expr(_line_cur_sql(rattrs)))
+    return cur.groupBy("edge_id").agg(F.expr(_LINE_CMP_AGG).alias("cmp"))
+
+
+def _line_cmp_cte(rattrs: dict, edge_src: str = "edges") -> str:
+    """SQL twin of :func:`line_cmp` (builds the synthetic edge_lines
+    inline, mirroring gtfs_ops.edge_lines_sql)."""
+    return f"""
+elines AS (
+  SELECT DISTINCT edge_id,
+         'l' || CAST(level * 10 AS VARCHAR) AS line_name,
+         'st ' || CAST(src % 9 AS VARCHAR)  AS from_stop,
+         'st ' || CAST(dst % 9 AS VARCHAR)  AS to_stop
+  FROM {edge_src} WHERE level < 3
+),
+ecmp AS (
+  SELECT edge_id, {_LINE_CMP_AGG} AS cmp
+  FROM (SELECT edge_id, {_line_cur_sql(rattrs)} AS cur FROM elines)
+  GROUP BY edge_id
+)"""
+
+
+# --------------------------------------------------------------------
+# the transition cost expression (shared, dialect-neutral)
+# --------------------------------------------------------------------
+
+def cost_expr(opts: dict = OPTS, has_rattrs: bool = True) -> str:
+    """R3 collapsed cost of transition (a -> b) over via node a_dst, as
+    ONE SQL string evaluated by Spark and DuckDB over identical column
+    names. Mirrors edge_cost's weighted collapse (misc.h:85-108) and
+    CostFunc::operator() term construction (router.cpp:53-117):
+
+    traverse(a): length x level punish, oneway/restriction meters,
+    line-unmatched meters, no-lines meters; turn terms at the via node:
+    full-turn punish (trivial reverse, or angle < fullTurnAngle at
+    deg>2 intersections), pass-through-station punish.
+    """
+    lv = opts["level_punish"]
+    lvl = ("CASE a_level " +
+           " ".join(f"WHEN {i} THEN {lv[i]!r}" for i in range(8)) +
+           " ELSE 1.0 END")
+    viol = "(a_ow OR rneg OR (rpos_to IS NOT NULL AND rpos_to <> b_orig))"
+    # angle test (angSmaller, misc.h:140-151): vectors via->backHop(a),
+    # via->frontHop(b); straight segments => backHop = a's start point,
+    # frontHop = b's end point.
+    dot = "((a_x1 - a_x2) * (b_x2 - b_x1) + (a_y1 - a_y2) * (b_y2 - b_y1))"
+    l2a = "((a_x1 - a_x2) * (a_x1 - a_x2) + (a_y1 - a_y2) * (a_y1 - a_y2))"
+    l2b = "((b_x2 - b_x1) * (b_x2 - b_x1) + (b_y2 - b_y1) * (b_y2 - b_y1))"
+    full_turn = (
+        "((a_src = b_dst AND a_dst = b_src) OR "
+        f"(deg > 2 AND {dot} > {_cos_full_turn(opts)!r} * SQRT({l2a}) * SQRT({l2b})))"
+    )
+    no_lines = "0.0" if has_rattrs else (
+        f"CASE WHEN a_cmp >= 1.0 THEN a_len * {opts['no_lines_punish_fac']!r} ELSE 0.0 END"
+    )
+    return (
+        f"a_len * ({lvl})"
+        f" + CASE WHEN {viol} THEN a_len * {opts['oneway_punish_fac']!r}"
+        f" + {opts['oneway_edge_punish']!r} ELSE 0.0 END"
+        f" + a_len * {opts['line_unmatched_punish_fac']!r} * a_cmp"
+        f" + {no_lines}"
+        f" + CASE WHEN {full_turn} THEN {opts['full_turn_punish']!r} ELSE 0.0 END"
+        f" + CASE WHEN via_station THEN {opts['pass_thru_station_punish']!r} ELSE 0.0 END"
+    )
+
+
+def turn_transitions(
+    edges: DataFrame,
+    restrictions: DataFrame,
+    nodes: DataFrame,
+    rattrs: dict = RATTRS,
+    opts: dict = OPTS,
+) -> DataFrame:
+    """The edge-graph: one row per legal directed-edge pair sharing the
+    via node, with the full R3 transition cost.
+
+    Output: (from_edge, to_edge, via_node, cost).
+
+    Scale shape: dedges self-join on the via node (shuffle equi-join on
+    node_id); degree / station / restriction / line-cmp sides are
+    graph-metadata joins (broadcast). Everything is JVM column math —
+    no Python rows.
+    """
+    de = directed_full(edges)
+    a = de.select(
+        F.col("edge_id").alias("a_edge"),
+        F.col("src").alias("a_src"),
+        F.col("dst").alias("a_dst"),
+        F.col("x1").alias("a_x1"), F.col("y1").alias("a_y1"),
+        F.col("x2").alias("a_x2"), F.col("y2").alias("a_y2"),
+        F.col("level").alias("a_level"),
+        F.col("length").alias("a_len"),
+        F.col("against_oneway").alias("a_ow"),
+        (F.col("edge_id") % REV_OFF).alias("a_orig"),
+    )
+    b = de.select(
+        F.col("edge_id").alias("b_edge"),
+        F.col("src").alias("b_src"),
+        F.col("dst").alias("b_dst"),
+        F.col("x1").alias("b_x1"), F.col("y1").alias("b_y1"),
+        F.col("x2").alias("b_x2"), F.col("y2").alias("b_y2"),
+        (F.col("edge_id") % REV_OFF).alias("b_orig"),
+    )
+    from . import graph_ops
+
+    deg = graph_ops.degrees(edges).select(
+        F.col("node_id").alias("a_dst"), F.col("degree").alias("deg")
+    )
+    st = nodes.select(F.col("node_id").alias("a_dst"), "is_station")
+    rneg = (
+        restrictions.filter(~F.col("positive"))
+        .select(
+            F.col("via_node").alias("a_dst"),
+            F.col("from_way").alias("a_orig"),
+            F.col("to_way").alias("b_orig"),
+        )
+        .distinct()
+        .withColumn("rneg_hit", F.lit(True))
+    )
+    rpos = (
+        restrictions.filter(F.col("positive"))
+        .groupBy(
+            F.col("via_node").alias("a_dst"), F.col("from_way").alias("a_orig")
+        )
+        .agg(F.min("to_way").alias("rpos_to"))
+    )
+    lc = line_cmp(edges, rattrs).select(
+        F.col("edge_id").alias("a_orig"), "cmp"
+    )
+    j = (
+        a.join(b, F.col("a_dst") == F.col("b_src"))
+        .join(F.broadcast(deg), "a_dst")
+        .join(F.broadcast(st), "a_dst", "left")
+        .join(F.broadcast(rneg), ["a_dst", "a_orig", "b_orig"], "left")
+        .join(F.broadcast(rpos), ["a_dst", "a_orig"], "left")
+        .join(F.broadcast(lc), "a_orig", "left")
+        .withColumn("via_station", F.coalesce(F.col("is_station"), F.lit(False)))
+        .withColumn("rneg", F.coalesce(F.col("rneg_hit"), F.lit(False)))
+        .withColumn("a_cmp", F.coalesce(F.col("cmp"), F.lit(1.0)))
+    )
+    return j.select(
+        F.col("a_edge").alias("from_edge"),
+        F.col("b_edge").alias("to_edge"),
+        F.col("a_dst").alias("via_node"),
+        F.expr(cost_expr(opts)).alias("cost"),
+    )
+
+
+def transitions_ctes(
+    edge_filter: str | None = None,
+    rattrs: dict = RATTRS,
+    opts: dict = OPTS,
+) -> str:
+    """DuckDB CTE chain ending in ``trans(from_edge, to_edge, via_node,
+    cost)`` — the bit-identical oracle twin of :func:`turn_transitions`.
+    ``edge_filter`` restricts the edge set (sub-grid queries)."""
+    base = sqlgen.with_ctes("nodes", "edges")
+    esrc = "edges"
+    if edge_filter:
+        base += f""",
+sub_edges AS (SELECT * FROM edges WHERE {edge_filter})"""
+        esrc = "sub_edges"
+    return f"""{base},{_directed_full_cte(esrc)},
+deg AS (
+  SELECT node_id, COUNT(*) AS deg
+  FROM (SELECT src AS node_id FROM {esrc} UNION ALL SELECT dst FROM {esrc})
+  GROUP BY node_id
+),{_line_cmp_cte(rattrs, esrc)},
+restr AS (
+  SELECT src AS via_node, MIN(edge_id) AS from_way, MAX(edge_id) AS to_way,
+         src % 22 = 0 AS positive
+  FROM {esrc} WHERE src % 11 = 0
+  GROUP BY src HAVING MIN(edge_id) <> MAX(edge_id)
+),
+jt AS MATERIALIZED (
+  SELECT a.edge_id AS a_edge, a.src AS a_src, a.dst AS a_dst,
+         a.x1 AS a_x1, a.y1 AS a_y1, a.x2 AS a_x2, a.y2 AS a_y2,
+         a.level AS a_level, a.length AS a_len, a.against_oneway AS a_ow,
+         a.edge_id % {REV_OFF} AS a_orig,
+         b.edge_id AS b_edge, b.src AS b_src, b.dst AS b_dst,
+         b.x1 AS b_x1, b.y1 AS b_y1, b.x2 AS b_x2, b.y2 AS b_y2,
+         b.edge_id % {REV_OFF} AS b_orig,
+         d.deg AS deg,
+         COALESCE(n.is_station, FALSE) AS via_station,
+         (rn.via_node IS NOT NULL) AS rneg,
+         rp.rpos_to AS rpos_to,
+         COALESCE(c.cmp, 1.0) AS a_cmp
+  FROM dedges a
+  JOIN dedges b ON a.dst = b.src
+  JOIN deg d ON d.node_id = a.dst
+  LEFT JOIN nodes n ON n.node_id = a.dst
+  LEFT JOIN (SELECT DISTINCT via_node, from_way, to_way FROM restr WHERE NOT positive) rn
+         ON rn.via_node = a.dst AND rn.from_way = a.edge_id % {REV_OFF}
+        AND rn.to_way = b.edge_id % {REV_OFF}
+  LEFT JOIN (SELECT via_node, from_way, MIN(to_way) AS rpos_to FROM restr
+             WHERE positive GROUP BY via_node, from_way) rp
+         ON rp.via_node = a.dst AND rp.from_way = a.edge_id % {REV_OFF}
+  LEFT JOIN ecmp c ON c.edge_id = a.edge_id % {REV_OFF}
+),
+trans AS MATERIALIZED (
+  SELECT a_edge AS from_edge, b_edge AS to_edge, a_dst AS via_node,
+         {cost_expr(opts)} AS cost
+  FROM jt
+)"""
+
+
+def turn_transitions_sql() -> str:
+    return transitions_ctes() + """
+SELECT from_edge, to_edge, via_node, cost FROM trans
+"""
+
+
+# --------------------------------------------------------------------
+# R2 — Dijkstra over edge states
+# --------------------------------------------------------------------
+
+def build_edge_csr(trans_pdf: pd.DataFrame) -> dict:
+    """CSR over directed-edge states from a transitions table. State ids
+    are the (sparse, offset-bearing) edge ids, index-mapped."""
+    frm = trans_pdf["from_edge"].to_numpy(np.int64)
+    to = trans_pdf["to_edge"].to_numpy(np.int64)
+    cost = trans_pdf["cost"].to_numpy(np.float64)
+    states = np.unique(np.concatenate([frm, to]))
+    idx = {int(e): i for i, e in enumerate(states)}
+    fi = np.array([idx[int(e)] for e in frm], dtype=np.int64)
+    ti = np.array([idx[int(e)] for e in to], dtype=np.int64)
+    order = np.lexsort((to, ti, fi))  # (from, to-edge-id) deterministic
+    fi, ti, cost = fi[order], ti[order], cost[order]
+    n = len(states)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, fi + 1, 1)
+    indptr = np.cumsum(indptr)
+    return {"indptr": indptr, "dst": ti, "cost": cost, "states": states, "idx": idx}
+
+
+def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, float]:
+    """Deterministic (d, state-edge-id) PQ order (EDijkstra.h:50-53 uses
+    (h, d); without a heuristic h == d). Early exit once all targets
+    settle. Keys/values in raw edge ids."""
+    idx = csr["idx"]
+    if source_edge not in idx:
+        return {}
+    indptr, dsts, cost, states = csr["indptr"], csr["dst"], csr["cost"], csr["states"]
+    src = idx[source_edge]
+    remaining = (
+        {idx[t] for t in target_edges if t in idx} if target_edges is not None else None
+    )
+    dist: dict[int, float] = {}
+    pq: list[tuple[float, int, int]] = [(0.0, int(states[src]), src)]
+    while pq:
+        d, _, u = heapq.heappop(pq)
+        if u in dist:
+            continue
+        dist[u] = d
+        if remaining is not None:
+            remaining.discard(u)
+            if not remaining:
+                break
+        for i in range(indptr[u], indptr[u + 1]):
+            v = int(dsts[i])
+            if v not in dist:
+                heapq.heappush(pq, (d + float(cost[i]), int(states[v]), v))
+    return {int(states[u]): d for u, d in dist.items()}
+
+
+# --------------------------------------------------------------------
+# restricted_paths — the oracled query
+# --------------------------------------------------------------------
+
+SUB_FILTER = (
+    f"src % 32 < {SUB_N} AND src // 32 < {SUB_N} "
+    f"AND dst % 32 < {SUB_N} AND dst // 32 < {SUB_N}"
+)
+
+
+def _sub_edges(spark: SparkSession) -> DataFrame:
+    from .. import datagen
+
+    g = 32
+    return datagen.edges(spark).filter(
+        (F.col("src") % g < SUB_N)
+        & (F.floor(F.col("src") / g) < SUB_N)
+        & (F.col("dst") % g < SUB_N)
+        & (F.floor(F.col("dst") / g) < SUB_N)
+    )
+
+
+def restricted_paths(spark: SparkSession) -> DataFrame:
+    """Shortest restricted-path cost between every (source-state,
+    target-state) pair on the 8x8 sub-grid, under the full R3 cost
+    model with restrictions enforced.
+
+    Source states: directed edges leaving SOURCE_NODES; target states:
+    directed edges entering TARGET_NODES. Unreachable => NULL.
+
+    Distribution: one applyInPandas group per source state over the
+    broadcast transition CSR (graph-sized — see module docstring).
+    """
+    from .. import datagen
+
+    edges = _sub_edges(spark)
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
+    trans = turn_transitions(edges, restr, datagen.nodes(spark))
+    de = directed_full(edges)
+    sources = de.filter(F.col("src").isin(SOURCE_NODES)).select(
+        F.col("edge_id").alias("from_edge"), F.col("src").alias("src_node")
+    )
+    targets = [
+        (int(r["edge_id"]), int(r["dst"]))
+        for r in de.filter(F.col("dst").isin(TARGET_NODES))
+        .select("edge_id", "dst")
+        .collect()
+    ]
+    trans_pdf = trans.toPandas()
+    bc = spark.sparkContext.broadcast(trans_pdf)
+    tgt_states = sorted(t for t, _ in targets)
+    tgt_nodes = dict(targets)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        csr = build_edge_csr(bc.value)
+        out = []
+        for fe, sn in zip(pdf["from_edge"], pdf["src_node"]):
+            d = edge_dijkstra(csr, int(fe), tgt_states)
+            for t in tgt_states:
+                out.append((int(fe), int(sn), t, tgt_nodes[t], d.get(t)))
+        return pd.DataFrame(
+            out, columns=["from_edge", "src_node", "to_edge", "dst_node", "path_cost"]
+        )
+
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        sources.repartition(n_part, "from_edge")
+        .groupBy("from_edge")
+        .applyInPandas(
+            solve,
+            schema="from_edge long, src_node long, to_edge long, dst_node long, path_cost double",
+        )
+    )
+
+
+def restricted_paths_sql() -> str:
+    """Oracle: unrolled Bellman-Ford over the transitions CTE.
+
+    Left-to-right accumulation (d_prev + cost) matches the Dijkstra's
+    float addition order exactly, so costs are bit-identical. BF_ROUNDS
+    bounds optimal-path transitions: any optimum is cheaper than the
+    worst Manhattan route (<= 15 transitions x max-cost ~21.5k) and
+    every transition costs >= 2048, so > ~160 transitions can never be
+    optimal."""
+    in_src = ",".join(str(s) for s in SOURCE_NODES)
+    in_tgt = ",".join(str(t) for t in TARGET_NODES)
+    parts = [transitions_ctes(edge_filter=SUB_FILTER)]
+    parts.append(f""",
+sources AS (SELECT edge_id AS from_edge, src AS src_node FROM dedges WHERE src IN ({in_src})),
+targets AS (SELECT edge_id AS to_edge, dst AS dst_node FROM dedges WHERE dst IN ({in_tgt})),
+d0 AS MATERIALIZED (SELECT from_edge AS src_e, from_edge AS state, 0.0 AS cost FROM sources)""")
+    for i in range(1, BF_ROUNDS + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT src_e, state, MIN(cost) AS cost FROM (
+    SELECT src_e, state, cost FROM d{i - 1}
+    UNION ALL
+    SELECT d.src_e, t.to_edge, d.cost + t.cost
+    FROM d{i - 1} d JOIN trans t ON t.from_edge = d.state
+  ) GROUP BY src_e, state
+)""")
+    parts.append(f"""
+SELECT s.from_edge, s.src_node, t.to_edge, t.dst_node, d.cost AS path_cost
+FROM sources s
+CROSS JOIN targets t
+LEFT JOIN d{BF_ROUNDS} d ON d.src_e = s.from_edge AND d.state = t.to_edge
+""")
+    return "".join(parts)
