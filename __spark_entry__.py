@@ -284,6 +284,29 @@ def _q_line_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_routing.line_cmp(datagen.edges(spark)).select("edge_id", "cmp")
 
 
+def _q_trip_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 trip clustering: fingerprint-exact groupBy over the candidate
+    structure (echoed duplicate trips cluster with their originals)."""
+    cand = edge_routing.echo_candidates(
+        candidates.candidate_edges(datagen.points(spark, sf_dir), datagen.edges(spark))
+    )
+    return edge_routing.trip_fingerprints(cand).select(
+        "trip_id", "fingerprint", "rep_trip"
+    )
+
+
+def _q_viterbi_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 full model: edge-candidate states, A5 emission penalties,
+    edge-based Dijkstra transitions with restrictions + per-trip route
+    attrs; A1 clustering solves each fingerprint once."""
+    eds = datagen.edges(spark)
+    cand = edge_routing.echo_candidates(
+        candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    )
+    tbv = edge_routing.build_variant_transitions(spark, eds)
+    return edge_routing.viterbi_full(cand, tbv)
+
+
 def _q_greedy2_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     eds = datagen.edges(spark)
     cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
@@ -393,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_transitions": _q_turn_transitions,
         "restricted_paths": _q_restricted_paths,
         "line_similarity": _q_line_similarity,
+        "trip_clusters": _q_trip_clusters,
+        "viterbi_full": _q_viterbi_full,
         "netgraph_usage": _q_netgraph_usage,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
@@ -518,6 +543,9 @@ edges_pruned AS (
         "restricted_paths": edge_routing.restricted_paths_sql(),
         "line_similarity": edge_routing.transitions_ctes()
         + " SELECT edge_id, cmp FROM ecmp",
+        "trip_clusters": edge_routing.trip_clusters_sql(),
+        # viterbi_full: per-cluster layered DP (applyInPandas) — not
+        # SQL-expressible; brute-force python oracle in tests/test_edge_routing.py
         "netgraph_usage": gtfs_ops.netgraph_usage_sql(candidates.candidates_cte_sql()),
         # greedy2_align / frechet_eval / df_histogram / segmentize:
         # per-trip sequential scans (chained Dijkstra, Fréchet DP,

@@ -509,6 +509,276 @@ def restricted_paths(spark: SparkSession) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# A1 trip clustering + R7 full-cost Viterbi over edge states
+# --------------------------------------------------------------------
+
+N_RATTR_VARIANTS = 3  # per-trip route attrs: short_name = 'l' + (trip%3)*10
+
+
+def rattrs_for_variant(v: int) -> dict:
+    return {"short_name": f"l{v * 10}", "from": "st 3", "to": "st 5"}
+
+
+_DOCNUM = "CAST(REGEXP_EXTRACT(image_id, '([0-9]+)', 1) AS BIGINT)"
+_TRIPNUM = "CAST(REGEXP_EXTRACT(trip_id, '([0-9]+)', 1) AS BIGINT)"
+
+# A5 emission — station_group::get_penalty (station_group.cpp:56-93):
+# pen = dist * distPenFac + trackPen (0 on platform/track match) +
+# nonOsmPen (0 for OSM-sourced nodes). Track-match / osm flags derive
+# deterministically from the candidate row (same parity derivations as
+# stations.candidate_penalties).
+_EMISSION = (
+    "dist * {fac!r}"
+    " + CASE WHEN {doc} % 3 = 1 THEN {track!r} ELSE 0.0 END"
+    " + CASE WHEN cand_node % 2 = 1 THEN {nonosm!r} ELSE 0.0 END"
+)
+
+
+def emission_expr() -> str:
+    from . import stations
+    from .. import constants as C
+
+    return _EMISSION.format(
+        fac=C.CAND_PEN_FAC, doc=_DOCNUM,
+        track=stations.TRACK_PEN, nonosm=stations.NON_OSM_PEN,
+    )
+
+
+def echo_candidates(cand: DataFrame) -> DataFrame:
+    """Candidates ∪ an echoed copy of every trip ('e' id prefix) — the
+    duplicate-trip workload that makes A1 clustering measurable: the
+    echoed trip is routing-equal to the original, so the cluster solves
+    once (reference ``shape_builder::cluster_trips``,
+    ``shape_builder.cpp:676-722``)."""
+    echo = cand.withColumn("image_id", F.concat(F.lit("e"), F.col("image_id"))).withColumn(
+        "trip_id", F.concat(F.lit("e"), F.col("trip_id"))
+    )
+    return cand.unionByName(echo)
+
+
+_FPR_STRUCT = (
+    "CAST(seq AS STRING) || ':' || CAST(rank AS STRING) || ':' || "
+    "CAST(edge_id AS STRING) || ':' || CAST(cand_node AS STRING) || ':' || "
+    "CAST(CAST(FLOOR(emission * 1024 + 0.5) AS BIGINT) AS STRING)"
+)
+
+
+def trip_fingerprints(cand: DataFrame) -> DataFrame:
+    """(trip_id, fingerprint, rep_trip): the A1 cluster key.
+
+    The fingerprint hashes EVERYTHING the per-trip solve depends on —
+    route-attr variant plus the ordered (seq, rank, edge, node,
+    quantized emission) candidate structure (the reference refines its
+    (first, last)-stop grouping with ``routingEqual``,
+    ``shape_builder.cpp:724-767``; an exact groupBy on the full
+    structure hash achieves the same partition without the O(n^2)
+    scan). rep = min trip_id per fingerprint."""
+    rows = cand.withColumn("emission", F.expr(emission_expr())).select(
+        "trip_id",
+        "seq",
+        "rank",
+        F.expr(f"{_TRIPNUM} % {N_RATTR_VARIANTS}").alias("variant"),
+        F.expr(f"({_FPR_STRUCT})").alias("s"),
+    )
+    per_trip = rows.groupBy("trip_id", "variant").agg(
+        F.md5(
+            F.concat(
+                F.col("variant").cast("string"),
+                F.lit("#"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seq", "rank", "s"))),
+                        lambda x: x["s"],
+                    ),
+                    "|",
+                ),
+            )
+        ).alias("fingerprint"),
+    )
+    reps = per_trip.groupBy("fingerprint").agg(F.min("trip_id").alias("rep_trip"))
+    return per_trip.join(reps, "fingerprint").select(
+        "trip_id", "fingerprint", "rep_trip", "variant"
+    )
+
+
+def trip_clusters_sql() -> str:
+    from . import candidates as cand_ops
+
+    emis = emission_expr()
+    return (
+        cand_ops.candidates_cte_sql()
+        + f""",
+cand_all AS (
+  SELECT * FROM cand
+  UNION ALL
+  SELECT 'e' || image_id, 'e' || trip_id, seq, x, y, edge_id, src, dst,
+         level, oneway, cand_node, dist, rank
+  FROM cand
+),
+rows_e AS (
+  SELECT trip_id, seq, rank,
+         {_TRIPNUM} % {N_RATTR_VARIANTS} AS variant,
+         {_FPR_STRUCT.replace('emission', f'({emis})')} AS s
+  FROM cand_all
+),
+per_trip AS (
+  SELECT trip_id,
+         MD5(CAST(variant AS VARCHAR) || '#' ||
+             STRING_AGG(s, '|' ORDER BY seq, rank)) AS fingerprint
+  FROM rows_e GROUP BY trip_id, variant
+)
+SELECT trip_id, fingerprint,
+       MIN(trip_id) OVER (PARTITION BY fingerprint) AS rep_trip
+FROM per_trip
+"""
+    )
+
+
+def viterbi_full(
+    cand: DataFrame,
+    transitions_by_variant: dict[int, pd.DataFrame],
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """R7 with the COMPLETE model: candidate states are *directed edges*
+    (router/misc.h:23-33 edge_candidate), emission = A5 penalty
+    (dist-fac + track + nonOsm), transition = edge-based Dijkstra under
+    the full R3 cost (turn restrictions enforced) with the trip's route
+    attrs selecting the line-match costs.
+
+    A1 clustering: only cluster representatives are solved; results
+    broadcast-join back to members via the fingerprint. Output one row
+    per (trip, seq): chosen directed edge state + costs.
+    """
+    spark = cand.sparkSession
+    if fingerprints is None:
+        fingerprints = trip_fingerprints(cand)
+    bc = spark.sparkContext.broadcast(transitions_by_variant)
+
+    with_emis = cand.withColumn("emission", F.expr(emission_expr()))
+    keyed = with_emis.join(
+        fingerprints.select("trip_id", "fingerprint", "rep_trip", "variant"), "trip_id"
+    )
+    reps = keyed.filter(F.col("trip_id") == F.col("rep_trip")).select(
+        "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank"
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _viterbi_full_one(pdf, bc.value)
+
+    n_part = spark.sparkContext.defaultParallelism * 2
+    solved = (
+        reps.repartition(n_part, "fingerprint")
+        .groupBy("fingerprint")
+        .applyInPandas(
+            solve,
+            schema=(
+                "fingerprint string, seq long, state_edge long, edge_id long, "
+                "emission double, acc_cost double"
+            ),
+        )
+    )
+    members = keyed.select("trip_id", "fingerprint", "seq", "image_id").distinct()
+    return members.join(solved, ["fingerprint", "seq"]).select(
+        "trip_id", "seq", "image_id", "state_edge", "edge_id", "emission", "acc_cost"
+    )
+
+
+_VF_CSR_CACHE: dict = {}
+_VF_ROUTE_CACHE: dict = {}
+
+
+def _vf_csr(bc_value: dict, variant: int) -> dict:
+    key = variant
+    if key not in _VF_CSR_CACHE:
+        if len(_VF_CSR_CACHE) > 8:
+            _VF_CSR_CACHE.clear()
+            _VF_ROUTE_CACHE.clear()
+        _VF_CSR_CACHE[key] = build_edge_csr(bc_value[variant])
+    return _VF_CSR_CACHE[key]
+
+
+def _vf_route(csr: dict, variant: int, src: int, targets: frozenset) -> dict:
+    key = (variant, src, targets)
+    hit = _VF_ROUTE_CACHE.get(key)
+    if hit is None:
+        if len(_VF_ROUTE_CACHE) > 100_000:
+            _VF_ROUTE_CACHE.clear()
+        hit = edge_dijkstra(csr, src, targets)
+        _VF_ROUTE_CACHE[key] = hit
+    return hit
+
+
+def _viterbi_full_one(pdf: pd.DataFrame, trans_by_variant: dict) -> pd.DataFrame:
+    """Layered min-plus DP over directed-edge candidate states; ties
+    break toward the smaller state id (rows pre-sorted)."""
+    fpr = pdf["fingerprint"].iloc[0]
+    variant = int(pdf["variant"].iloc[0])
+    csr = _vf_csr(trans_by_variant, variant)
+
+    # expand candidates to directed states: fwd + rev share the emission
+    base = pdf[["seq", "edge_id", "emission"]].drop_duplicates()
+    fwd = base.copy()
+    fwd["state"] = fwd["edge_id"]
+    rev = base.copy()
+    rev["state"] = rev["edge_id"] + REV_OFF
+    states = pd.concat([fwd, rev]).sort_values(["seq", "state"], ignore_index=True)
+
+    seqs = sorted(states["seq"].unique())
+    layers = [states[states["seq"] == s].reset_index(drop=True) for s in seqs]
+
+    dp_cost: list[np.ndarray] = []
+    dp_prev: list[np.ndarray] = []
+    dp_cost.append(layers[0]["emission"].to_numpy(np.float64))
+    dp_prev.append(np.full(len(layers[0]), -1, dtype=np.int64))
+    for li in range(1, len(layers)):
+        prev_l, cur_l = layers[li - 1], layers[li]
+        prev_states = prev_l["state"].to_numpy(np.int64)
+        cur_states = cur_l["state"].to_numpy(np.int64)
+        tgt = frozenset(int(t) for t in np.unique(cur_states))
+        trans = np.full((len(prev_l), len(cur_l)), np.inf)
+        for i, s in enumerate(prev_states):
+            d = _vf_route(csr, variant, int(s), tgt)
+            trans[i, :] = [d.get(int(t), np.inf) for t in cur_states]
+        emission = cur_l["emission"].to_numpy(np.float64)
+        total = dp_cost[-1][:, None] + trans + emission[None, :]
+        best_prev = np.argmin(total, axis=0)
+        dp_cost.append(total[best_prev, np.arange(total.shape[1])])
+        dp_prev.append(best_prev)
+
+    choice = np.zeros(len(layers), dtype=np.int64)
+    choice[-1] = int(np.argmin(dp_cost[-1]))
+    for li in range(len(layers) - 1, 0, -1):
+        choice[li - 1] = dp_prev[li][choice[li]]
+
+    out = []
+    for li, lay in enumerate(layers):
+        r = lay.iloc[int(choice[li])]
+        out.append(
+            (
+                fpr, int(r["seq"]), int(r["state"]), int(r["edge_id"]),
+                float(r["emission"]), float(dp_cost[li][int(choice[li])]),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=["fingerprint", "seq", "state_edge", "edge_id", "emission", "acc_cost"],
+    )
+
+
+def build_variant_transitions(spark: SparkSession, edges: DataFrame) -> dict[int, pd.DataFrame]:
+    """One transition table per route-attr variant (the reference keys
+    its route cache by rAttrs the same way, router.cpp:626-688)."""
+    from .. import datagen
+
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
+    nodes = datagen.nodes(spark)
+    return {
+        v: turn_transitions(edges, restr, nodes, rattrs=rattrs_for_variant(v)).toPandas()
+        for v in range(N_RATTR_VARIANTS)
+    }
+
+
 def restricted_paths_sql() -> str:
     """Oracle: unrolled Bellman-Ford over the transitions CTE.
 

@@ -188,6 +188,138 @@ def test_restricted_paths_matches_oracle(spark):
     )
 
 
+def _bf_state_cost(trans: pd.DataFrame, rounds: int = 220) -> dict:
+    """Independent all-pairs shortest path: Bellman-Ford relaxation over
+    the raw transition rows (no CSR/heap code shared with the engine)."""
+    frm = trans["from_edge"].to_numpy(np.int64)
+    to = trans["to_edge"].to_numpy(np.int64)
+    c = trans["cost"].to_numpy(np.float64)
+    states = sorted(set(frm) | set(to))
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    d = np.full((n, n), np.inf)
+    d[np.arange(n), np.arange(n)] = 0.0
+    fi = np.array([idx[s] for s in frm])
+    ti = np.array([idx[s] for s in to])
+    for _ in range(rounds):
+        nd = d.copy()
+        for k in range(len(fi)):
+            cand = d[:, fi[k]] + c[k]
+            np.minimum(nd[:, ti[k]], cand, out=nd[:, ti[k]])
+        if np.array_equal(nd, d, equal_nan=True):
+            break
+        d = nd
+    return {"d": d, "idx": idx}
+
+
+def _bf_viterbi(layers, apsp) -> float:
+    """Brute-force DP over (state, emission) layers using the BF matrix;
+    returns the optimal total cost."""
+    d, idx = apsp["d"], apsp["idx"]
+    costs = [em for _, em in layers[0]]
+    prev = layers[0]
+    for lay in layers[1:]:
+        new = []
+        for st, em in lay:
+            best = np.inf
+            for i, (pst, _) in enumerate(prev):
+                if pst in idx and st in idx:
+                    t = d[idx[pst], idx[st]]
+                else:
+                    t = np.inf
+                cand = costs[i] + t + em
+                if cand < best:
+                    best = cand
+            new.append(best)
+        costs = new
+        prev = lay
+    return float(np.min(costs))
+
+
+def test_viterbi_full_matches_brute_force(spark):
+    """Engine viterbi_full vs an independent BF-matrix DP on two trips
+    restricted to the 8x8 sub-grid world."""
+    from pfaedle_spark.operators import candidates as cand_ops
+
+    eds = ER._sub_edges(spark)
+    pts = datagen.points(spark, "/root/testdata/sf0.001").filter(
+        (F.col("x") < ER.SUB_N * 2048.0) & (F.col("y") < ER.SUB_N * 2048.0)
+    )
+    cand = cand_ops.candidate_edges(pts, eds)
+    assert cand.count() > 0, "no sub-grid candidates at sf0.001"
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, eds))
+    nodes = datagen.nodes(spark)
+    tbv = {
+        v: ER.turn_transitions(
+            eds, restr, nodes, rattrs=ER.rattrs_for_variant(v)
+        ).toPandas()
+        for v in range(ER.N_RATTR_VARIANTS)
+    }
+    got = ER.viterbi_full(cand, tbv).toPandas()
+
+    cand_pdf = cand.withColumn("emission", F.expr(ER.emission_expr())).toPandas()
+    apsp = {v: _bf_state_cost(tbv[v]) for v in tbv}
+    for trip_id, g in cand_pdf.groupby("trip_id"):
+        variant = int(trip_id.split("_")[1]) % ER.N_RATTR_VARIANTS
+        layers = []
+        for seq in sorted(g["seq"].unique()):
+            lay = g[g["seq"] == seq][["edge_id", "emission"]].drop_duplicates()
+            states = []
+            for e, em in zip(lay["edge_id"], lay["emission"]):
+                states.append((int(e), float(em)))
+                states.append((int(e) + ER.REV_OFF, float(em)))
+            layers.append(sorted(states))
+        total = _bf_viterbi(layers, apsp[variant])
+        eng = got[got["trip_id"] == trip_id].sort_values("seq")
+        assert len(eng) == len(layers), trip_id
+        # compare the accumulated optimum (equal-cost ties may choose
+        # different paths across independent implementations; the
+        # optimal VALUE is unique)
+        assert float(eng["acc_cost"].iloc[-1]) == pytest.approx(total, rel=1e-12), trip_id
+
+
+def test_viterbi_full_echo_trips_identical(spark):
+    """A1 property: an echoed (duplicate) trip gets the identical
+    alignment, solved once via the shared fingerprint."""
+    from pfaedle_spark.operators import candidates as cand_ops
+
+    eds = ER._sub_edges(spark)
+    pts = datagen.points(spark, "/root/testdata/sf0.001").filter(
+        (F.col("x") < ER.SUB_N * 2048.0) & (F.col("y") < ER.SUB_N * 2048.0)
+    )
+    cand = ER.echo_candidates(cand_ops.candidate_edges(pts, eds))
+    fpr = ER.trip_fingerprints(cand).toPandas()
+    # every echoed trip must share its original's fingerprint
+    orig = fpr[~fpr["trip_id"].str.startswith("e")].set_index("trip_id")["fingerprint"]
+    echo = fpr[fpr["trip_id"].str.startswith("e")]
+    for t, f in zip(echo["trip_id"], echo["fingerprint"]):
+        assert orig[t[1:]] == f, t
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, eds))
+    nodes = datagen.nodes(spark)
+    tbv = {
+        v: ER.turn_transitions(
+            eds, restr, nodes, rattrs=ER.rattrs_for_variant(v)
+        ).toPandas()
+        for v in range(ER.N_RATTR_VARIANTS)
+    }
+    got = ER.viterbi_full(cand, tbv).toPandas()
+    o = got[~got["trip_id"].str.startswith("e")].copy()
+    e = got[got["trip_id"].str.startswith("e")].copy()
+    e["trip_id"] = e["trip_id"].str[1:]
+    e["image_id"] = e["image_id"].str[1:]
+    m = o.merge(e, on=["trip_id", "seq"], suffixes=("", "_e"))
+    assert len(m) == len(o) == len(e)
+    assert (m["state_edge"] == m["state_edge_e"]).all()
+    assert (m["acc_cost"] == m["acc_cost_e"]).all()
+
+
+def test_trip_clusters_matches_oracle(spark):
+    assert_matches_oracle(
+        entrymod.queries()["trip_clusters"](spark, "/root/testdata/sf0.001"),
+        entrymod.oracle_sql()["trip_clusters"],
+    )
+
+
 def test_turn_transitions_plan_stays_jvm_side(spark):
     import contextlib
     import io
