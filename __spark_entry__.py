@@ -284,6 +284,12 @@ def _q_line_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_routing.line_cmp(datagen.edges(spark)).select("edge_id", "cmp")
 
 
+def _q_snap_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 full fidelity: escalating-radius snap with edge splitting —
+    round-structured append+tombstone; oracle is the round-unrolled SQL."""
+    return snap.snap_with_splits(datagen.stations(spark), datagen.edges(spark))
+
+
 def _q_trip_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 trip clustering: fingerprint-exact groupBy over the candidate
     structure (echoed duplicate trips cluster with their originals)."""
@@ -418,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_similarity": _q_line_similarity,
         "trip_clusters": _q_trip_clusters,
         "viterbi_full": _q_viterbi_full,
+        "snap_splits": _q_snap_splits,
         "netgraph_usage": _q_netgraph_usage,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
@@ -544,6 +551,7 @@ edges_pruned AS (
         "line_similarity": edge_routing.transitions_ctes()
         + " SELECT edge_id, cmp FROM ecmp",
         "trip_clusters": edge_routing.trip_clusters_sql(),
+        "snap_splits": snap.snap_with_splits_sql(),
         # viterbi_full: per-cluster layered DP (applyInPandas) — not
         # SQL-expressible; brute-force python oracle in tests/test_edge_routing.py
         "netgraph_usage": gtfs_ops.netgraph_usage_sql(candidates.candidates_cte_sql()),

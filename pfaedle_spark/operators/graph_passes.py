@@ -98,15 +98,22 @@ def fix_gaps(nodes: DataFrame, edges: DataFrame, max_dist: float = GAP_DIST) -> 
         .filter((F.col("deg") == 1) & (~F.col("is_station")))
         .select("node_id", "x", "y")
     )
-    a = d1.select(
-        F.col("node_id").alias("na"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    from . import cells
+
+    # padded-cell equi-join (the same J5/J6 pattern): the degree-1 set
+    # can be millions of rows on a continental graph, so no crossJoin —
+    # only same/adjacent-cell pairs are ever compared.
+    a = cells.point_cells(d1, max_dist).select(
+        "cell_id",
+        F.col("node_id").alias("na"), F.col("x").alias("xa"), F.col("y").alias("ya"),
     )
-    b = d1.select(
-        F.col("node_id").alias("nb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    b = cells.tile_assign(d1).select(
+        "cell_id",
+        F.col("node_id").alias("nb"), F.col("x").alias("xb"), F.col("y").alias("yb"),
     )
     pairs = (
-        a.crossJoin(b)  # degree-1 node set is tiny after filtering; at
-        # scale swap for the cell-join (same as snap) — semantics equal
+        a.join(b, "cell_id")
+        .dropDuplicates(["na", "nb"])
         .filter(
             (F.col("na") < F.col("nb"))
             & (

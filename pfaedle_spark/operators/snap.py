@@ -87,6 +87,239 @@ def snap_stations(
     )
 
 
+# --------------------------------------------------------------------
+# J7 — station snapping WITH edge splitting (escalating radii)
+# --------------------------------------------------------------------
+#
+# Reference ``osm_builder::snap_station`` (osm_builder.cpp:1363-1506):
+# project the stop onto its best candidate edge; reuse an endpoint when
+# the projection lands within ~2 m of it, otherwise SPLIT the edge at
+# the projection and insert a new station node. Driver loop
+# ``snap_stations`` (:1649-1785) escalates the search radius
+# (pfaedle.cfg:354). The reference mutates the grid in place; here each
+# round is an immutable DataFrame generation: round k consumes round
+# k-1's edge set, split edges are tombstoned (anti-join) and their two
+# halves appended (SURVEY §7 risk 2 / Stage 3 design).
+
+SPLIT_RADII = [25.0, 100.0, 200.0]
+SPLIT_EPS = 2.0           # endpoint-promotion distance (osm_builder.cpp:1413)
+PROJ_NODE_OFF = 2_000_000  # new projection-node ids: OFF + stop number
+SPLIT_EDGE_OFF = 4_000_000  # split-half edge ids: OFF + stopnum*2 (+1)
+
+_STOPNUM = "CAST(REGEXP_EXTRACT(stop_id, '([0-9]+)', 1) AS BIGINT)"
+
+# projection onto the best edge — ONE dialect-neutral derivation used by
+# Spark (F.expr) and DuckDB so every value is bit-identical
+_DX, _DY = "(x2 - x1)", "(y2 - y1)"
+_LEN2 = f"({_DX}*{_DX} + {_DY}*{_DY})"
+_T_RAW = f"(((x - x1)*{_DX} + (y - y1)*{_DY}) / {_LEN2})"
+_T = f"(CASE WHEN {_LEN2} <= 0 THEN 0.0 ELSE LEAST(1.0, GREATEST(0.0, {_T_RAW})) END)"
+_QX = f"(x1 + {_T} * {_DX})"
+_QY = f"(y1 + {_T} * {_DY})"
+_DPOS = f"({_T} * length)"
+
+_KIND = (
+    f"CASE WHEN {_DPOS} <= {{eps}} THEN 'src' "
+    f"WHEN length - {_DPOS} <= {{eps}} THEN 'dst' "
+    f"ELSE 'split' END"
+)
+_NODE_ID = (
+    f"CASE WHEN {_DPOS} <= {{eps}} THEN src "
+    f"WHEN length - {_DPOS} <= {{eps}} THEN dst "
+    f"ELSE {PROJ_NODE_OFF} + stopnum END"
+)
+
+
+def snap_with_splits(
+    stops: DataFrame,
+    edges: DataFrame,
+    radii: list[float] | None = None,
+    eps: float = SPLIT_EPS,
+) -> DataFrame:
+    """Escalating-radius snap with edge splitting.
+
+    Per round: cell join (stops x current edges) -> best edge per stop
+    (argmin dist, edge_id) -> ONE winner stop per edge (argmin dist,
+    stop_id — the race-safe stand-in for the reference's sequential
+    in-place mutation; losers retry next round against the updated edge
+    set) -> endpoint promotion within `eps`, else split.
+
+    Output: (stop_id, node_id, kind, round, dist, qx, qy, split_edge).
+    """
+    from . import candidates as cand_ops
+
+    radii = radii or SPLIT_RADII
+    cur_edges = edges.select(
+        "edge_id", "src", "dst", "x1", "y1", "x2", "y2", "level", "oneway", "length"
+    )
+    unsnapped = stops.select(
+        "stop_id", F.expr(_STOPNUM).alias("stopnum"), "x", "y"
+    )
+    parts = []
+    for rnd, r in enumerate(radii, start=1):
+        pc = cells.point_cells(unsnapped, r)
+        ec = cells.edge_cells(cur_edges)
+        j = pc.join(ec, "cell_id").dropDuplicates(["stop_id", "edge_id"])
+        j = j.withColumn("dist", F.expr(cand_ops.DIST_EXPR)).filter(F.col("dist") <= r)
+        w_stop = Window.partitionBy("stop_id").orderBy(
+            F.col("dist").asc(), F.col("edge_id").asc()
+        )
+        best = j.withColumn("rk", F.row_number().over(w_stop)).filter("rk = 1")
+        w_edge = Window.partitionBy("edge_id").orderBy(
+            F.col("dist").asc(), F.col("stop_id").asc()
+        )
+        winner = best.withColumn("ek", F.row_number().over(w_edge)).filter("ek = 1")
+        snapped = winner.select(
+            "stop_id", "stopnum", "dist", "edge_id", "src", "dst",
+            "x1", "y1", "x2", "y2", "level", "oneway", "length",
+            F.expr(_T).alias("t"),
+            F.expr(_QX).alias("qx"),
+            F.expr(_QY).alias("qy"),
+            F.expr(_KIND.format(eps=eps)).alias("kind"),
+            F.expr(_NODE_ID.format(eps=eps)).alias("node_id"),
+            F.lit(rnd).alias("round"),
+        ).localCheckpoint(eager=True)
+        parts.append(
+            snapped.select(
+                "stop_id", "node_id", "kind", "round", "dist", "qx", "qy",
+                F.col("edge_id").alias("split_edge"),
+            )
+        )
+        splits = snapped.filter("kind = 'split'")
+        half1 = splits.select(
+            (F.lit(SPLIT_EDGE_OFF) + F.col("stopnum") * 2).alias("edge_id"),
+            "src",
+            F.col("node_id").alias("dst"),
+            "x1", "y1",
+            F.col("qx").alias("x2"), F.col("qy").alias("y2"),
+            "level", "oneway",
+            (F.col("t") * F.col("length")).alias("length"),
+        )
+        half2 = splits.select(
+            (F.lit(SPLIT_EDGE_OFF) + F.col("stopnum") * 2 + 1).alias("edge_id"),
+            F.col("node_id").alias("src"),
+            "dst",
+            F.col("qx").alias("x1"), F.col("qy").alias("y1"),
+            "x2", "y2",
+            "level", "oneway",
+            ((F.lit(1.0) - F.col("t")) * F.col("length")).alias("length"),
+        )
+        cur_edges = (
+            cur_edges.join(splits.select("edge_id"), "edge_id", "left_anti")
+            .unionByName(half1)
+            .unionByName(half2)
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        unsnapped = unsnapped.join(
+            snapped.select("stop_id"), "stop_id", "left_anti"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _cell_join_sql(stop_src: str, edge_src: str, radius: float) -> str:
+    """stop x edge candidate pairs via the padded-cell equi-join (same
+    offs-VALUES pattern as candidates_cte_sql)."""
+    import math
+
+    def offs(n: int) -> str:
+        return "(VALUES " + ",".join(f"({i})" for i in range(n + 1)) + ")"
+
+    n_pt = math.ceil(2 * radius / C.CELL) + 1
+    n_ed = math.ceil(C.GRID_SPACING / C.CELL) + 1
+    dist = sqlgen.dist_to_segment("s.x", "s.y", "e.x1", "e.y1", "e.x2", "e.y2")
+    return f"""
+  SELECT DISTINCT s.stop_id, s.stopnum, s.x, s.y,
+         e.edge_id, e.src, e.dst, e.x1, e.y1, e.x2, e.y2,
+         e.level, e.oneway, e.length,
+         {dist} AS dist
+  FROM (
+    SELECT s.*,
+           (CAST(FLOOR((s.x - {radius})/{C.CELL}) AS BIGINT) + ox.o) * {C.CELL_STRIDE}
+           + CAST(FLOOR((s.y - {radius})/{C.CELL}) AS BIGINT) + oy.o AS cell_id
+    FROM {stop_src} s, {offs(n_pt)} ox(o), {offs(n_pt)} oy(o)
+    WHERE CAST(FLOOR((s.x - {radius})/{C.CELL}) AS BIGINT) + ox.o
+            <= CAST(FLOOR((s.x + {radius})/{C.CELL}) AS BIGINT)
+      AND CAST(FLOOR((s.y - {radius})/{C.CELL}) AS BIGINT) + oy.o
+            <= CAST(FLOOR((s.y + {radius})/{C.CELL}) AS BIGINT)
+  ) s
+  JOIN (
+    SELECT e.*,
+           (CAST(FLOOR(LEAST(e.x1,e.x2)/{C.CELL}) AS BIGINT) + ox.o) * {C.CELL_STRIDE}
+           + CAST(FLOOR(LEAST(e.y1,e.y2)/{C.CELL}) AS BIGINT) + oy.o AS cell_id
+    FROM {edge_src} e, {offs(n_ed)} ox(o), {offs(n_ed)} oy(o)
+    WHERE CAST(FLOOR(LEAST(e.x1,e.x2)/{C.CELL}) AS BIGINT) + ox.o
+            <= CAST(FLOOR(GREATEST(e.x1,e.x2)/{C.CELL}) AS BIGINT)
+      AND CAST(FLOOR(LEAST(e.y1,e.y2)/{C.CELL}) AS BIGINT) + oy.o
+            <= CAST(FLOOR(GREATEST(e.y1,e.y2)/{C.CELL}) AS BIGINT)
+  ) e USING (cell_id)
+  WHERE {dist} <= {radius}"""
+
+
+def snap_with_splits_sql(
+    radii: list[float] | None = None, eps: float = SPLIT_EPS
+) -> str:
+    """Round-unrolled DuckDB oracle for :func:`snap_with_splits`."""
+    radii = radii or SPLIT_RADII
+    # projection exprs over the snap-row column names (x, y, x1..y2)
+    t, qx, qy, dpos = _T, _QX, _QY, _DPOS
+    kind = _KIND.format(eps=eps)
+    node_id = _NODE_ID.format(eps=eps)
+    parts = [sqlgen.with_ctes("stations", "edges")]
+    parts.append(f""",
+edges0 AS (
+  SELECT edge_id, src, dst, x1, y1, x2, y2, level, oneway, length
+  FROM edges
+),
+stops0 AS (
+  SELECT stop_id, {_STOPNUM} AS stopnum, x, y FROM stations
+)""")
+    for k, r in enumerate(radii, start=1):
+        parts.append(f""",
+cand{k} AS ({_cell_join_sql(f'stops{k - 1}', f'edges{k - 1}', r)}
+),
+best{k} AS (
+  SELECT * FROM cand{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY stop_id ORDER BY dist ASC, edge_id ASC) = 1
+),
+win{k} AS (
+  SELECT * FROM best{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY edge_id ORDER BY dist ASC, stop_id ASC) = 1
+),
+snap{k} AS (
+  SELECT stop_id, stopnum, dist, edge_id, src, dst, x1, y1, x2, y2,
+         level, oneway, length,
+         {t} AS t, {qx} AS qx, {qy} AS qy,
+         {kind} AS kind, {node_id} AS node_id,
+         {k} AS round
+  FROM win{k}
+),
+edges{k} AS (
+  SELECT * FROM edges{k - 1}
+  WHERE edge_id NOT IN (SELECT edge_id FROM snap{k} WHERE kind = 'split')
+  UNION ALL
+  SELECT {SPLIT_EDGE_OFF} + stopnum * 2, src, node_id, x1, y1, qx, qy,
+         level, oneway, t * length
+  FROM snap{k} WHERE kind = 'split'
+  UNION ALL
+  SELECT {SPLIT_EDGE_OFF} + stopnum * 2 + 1, node_id, dst, qx, qy, x2, y2,
+         level, oneway, (1.0 - t) * length
+  FROM snap{k} WHERE kind = 'split'
+),
+stops{k} AS (
+  SELECT * FROM stops{k - 1}
+  WHERE stop_id NOT IN (SELECT stop_id FROM snap{k})
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT stop_id, node_id, kind, round, dist, qx, qy, edge_id AS split_edge FROM snap{k}"
+        for k in range(1, len(radii) + 1)
+    )
+    parts.append("\n" + sel + "\n")
+    return "".join(parts)
+
+
 def snap_oracle_sql(radius: float = C.STATION_RADIUS) -> str:
     import math
 

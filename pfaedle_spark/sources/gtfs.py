@@ -119,14 +119,31 @@ def read_feed(spark: SparkSession, feed_dir: str) -> dict[str, DataFrame]:
     return out
 
 
-def write_table(df: DataFrame, feed_dir: str, name: str) -> None:
-    """S5: fixed-header CSV sink (single file per table, like the
-    reference writer; at scale drop the coalesce and write a directory)."""
+def write_table(
+    df: DataFrame, feed_dir: str, name: str, single_file: bool = True
+) -> None:
+    """S5: fixed-header CSV sink — a DISTRIBUTED ``df.write.csv``
+    (executors write; the driver never collects rows — a ``toPandas``
+    here is an OOM at 10^12 rows). ``single_file=True`` coalesces to one
+    partition and renames the part file to the reference's fixed
+    ``<table>.txt`` contract; at scale pass False and ship the
+    directory."""
+    import glob
+    import shutil
+
     schema = SCHEMAS[name]
     out = df.select(*[c.name for c in schema.fields if c.name in df.columns])
-    pdf = out.toPandas()
     os.makedirs(feed_dir, exist_ok=True)
-    pdf.to_csv(os.path.join(feed_dir, f"{name}.txt"), index=False)
+    if not single_file:
+        out.write.mode("overwrite").option("header", True).csv(
+            os.path.join(feed_dir, name)
+        )
+        return
+    tmp = os.path.join(feed_dir, f"_{name}_csv_tmp")
+    out.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    shutil.move(part, os.path.join(feed_dir, f"{name}.txt"))
+    shutil.rmtree(tmp)
 
 
 def synthetic_feed(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -94,3 +94,71 @@ def test_delete_orphan_nodes(spark):
     empty = ed.filter("edge_id < 0")
     survivors = graph_ops.delete_orphan_nodes(nd, empty)
     assert survivors.count() == nd.filter("is_station").count()
+
+
+# --------------------------------------------------------------------
+# J7 — edge-splitting snap (escalating radii, append+tombstone rounds)
+# --------------------------------------------------------------------
+
+def test_snap_splits_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+    from conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        entrymod.queries()["snap_splits"](spark, None),
+        entrymod.oracle_sql()["snap_splits"],
+    )
+
+
+def test_snap_splits_projection_lands_on_edge(spark):
+    """Projection nodes must lie ON the split edge segment and the two
+    halves' lengths must sum to the original length."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import snap as S
+
+    got = S.snap_with_splits(
+        datagen.stations(spark), datagen.edges(spark)
+    ).toPandas()
+    eds = datagen.edges(spark).toPandas().set_index("edge_id")
+    splits = got[got["kind"] == "split"]
+    assert len(splits) > 0
+    for _, r in splits.iterrows():
+        e = eds.loc[r["split_edge"]]
+        # collinearity: (q - p1) x (p2 - p1) == 0 (axis-aligned grid)
+        cross = (r["qx"] - e["x1"]) * (e["y2"] - e["y1"]) - (r["qy"] - e["y1"]) * (
+            e["x2"] - e["x1"]
+        )
+        assert abs(cross) < 1e-6
+        # within bbox
+        assert min(e["x1"], e["x2"]) - 1e-9 <= r["qx"] <= max(e["x1"], e["x2"]) + 1e-9
+        assert min(e["y1"], e["y2"]) - 1e-9 <= r["qy"] <= max(e["y1"], e["y2"]) + 1e-9
+
+
+def test_snap_splits_endpoint_promotion_with_large_eps(spark):
+    """With eps larger than the station offset the projection promotes
+    to the existing endpoint instead of splitting (snap_station's <2 m
+    branch, scaled)."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import snap as S
+
+    got = S.snap_with_splits(
+        datagen.stations(spark), datagen.edges(spark), eps=50.0
+    ).toPandas()
+    kinds = set(got["kind"])
+    assert "src" in kinds or "dst" in kinds
+    # promoted stops snap to a real graph node (id < PROJ_NODE_OFF)
+    promoted = got[got["kind"] != "split"]
+    assert (promoted["node_id"] < S.PROJ_NODE_OFF).all()
+    # and large-eps promotion never invents new edges for those stops
+    import duckdb
+    from conftest import SF_DIR
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = con.execute(S.snap_with_splits_sql(eps=50.0)).fetchdf()
+    con.close()
+    g = got.sort_values("stop_id", ignore_index=True)
+    w = want.sort_values("stop_id", ignore_index=True)
+    assert (g["node_id"].to_numpy() == w["node_id"].to_numpy()).all()
+    assert (g["kind"].to_numpy() == w["kind"].to_numpy()).all()
