@@ -32,6 +32,7 @@ from pfaedle_spark.operators import (
     dedup,
     edge_routing,
     evalmetrics,
+    geomops,
     graph_ops,
     graph_passes,
     gtfs_ops,
@@ -284,6 +285,40 @@ def _q_line_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_routing.line_cmp(datagen.edges(spark)).select("edge_id", "cmp")
 
 
+def _q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersects/intersection (Geo.h:458-681) over cell-joined pairs."""
+    return geomops.segment_intersections(datagen.stations(spark), datagen.edges(spark))
+
+
+def _q_trip_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getBoundingBox/extendBox/centroid per trip (Geo.h:55-106)."""
+    return geomops.trip_extent(datagen.points(spark, sf_dir))
+
+
+def _q_alt_name_simi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """station_info::simi over name+altNames (station_info.cpp:78-98)."""
+    return geomops.alt_name_simi(datagen.stations(spark), datagen.station_nodes(spark))
+
+
+SELF_EDGE_FILTER = "src % 13 <> 0 AND dst % 13 <> 0"
+
+
+def _q_self_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 writeSelfEdgs on a pruned edge set with isolated stations."""
+    eds = datagen.edges(spark).filter(SELF_EDGE_FILTER)
+    return geomops.self_edges(eds, datagen.nodes(spark))
+
+
+def _q_shape_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10+W2: assembled trip polylines (oriented edge concat along the
+    walked Dijkstra paths) with cumulative distance."""
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    tbv = edge_routing.build_variant_transitions(spark, eds)
+    dedges = edge_routing.directed_full(eds).toPandas()
+    return edge_routing.shape_assembly(cand, tbv, dedges)
+
+
 def _q_snap_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 full fidelity: escalating-radius snap with edge splitting —
     round-structured append+tombstone; oracle is the round-unrolled SQL."""
@@ -424,7 +459,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_similarity": _q_line_similarity,
         "trip_clusters": _q_trip_clusters,
         "viterbi_full": _q_viterbi_full,
+        "shape_geoms": _q_shape_geoms,
         "snap_splits": _q_snap_splits,
+        "segment_intersections": _q_segment_intersections,
+        "trip_extent": _q_trip_extent,
+        "alt_name_simi": _q_alt_name_simi,
+        "self_edges": _q_self_edges,
         "netgraph_usage": _q_netgraph_usage,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
@@ -552,8 +592,13 @@ edges_pruned AS (
         + " SELECT edge_id, cmp FROM ecmp",
         "trip_clusters": edge_routing.trip_clusters_sql(),
         "snap_splits": snap.snap_with_splits_sql(),
-        # viterbi_full: per-cluster layered DP (applyInPandas) — not
-        # SQL-expressible; brute-force python oracle in tests/test_edge_routing.py
+        "segment_intersections": geomops.segment_intersections_sql(),
+        "trip_extent": geomops.trip_extent_sql(),
+        "alt_name_simi": geomops.alt_name_simi_sql(),
+        "self_edges": geomops.self_edges_sql(SELF_EDGE_FILTER),
+        # viterbi_full / shape_geoms: per-cluster layered DP + path walk
+        # (applyInPandas) — not SQL-expressible; brute-force python oracle
+        # and geometric property gates in tests/test_edge_routing.py
         "netgraph_usage": gtfs_ops.netgraph_usage_sql(candidates.candidates_cte_sql()),
         # greedy2_align / frechet_eval / df_histogram / segmentize:
         # per-trip sequential scans (chained Dijkstra, Fréchet DP,

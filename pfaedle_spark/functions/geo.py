@@ -80,6 +80,89 @@ def point_in_polygon(px, py, poly_x: np.ndarray, poly_y: np.ndarray) -> np.ndarr
     return (crossings % 2) == 1
 
 
+def inner_prod_deg(ax, ay, bx, by, cx, cy) -> np.ndarray:
+    """Angle at vertex a between rays a->b and a->c, in degrees
+    (Geo.h:797-817 semantics; same min-clamp before acos)."""
+    ax, ay = np.asarray(ax, np.float64), np.asarray(ay, np.float64)
+    d21x, d21y = np.asarray(bx) - ax, np.asarray(by) - ay
+    d31x, d31y = np.asarray(cx) - ax, np.asarray(cy) - ay
+    m12 = np.sqrt(d21x * d21x + d21y * d21y)
+    m13 = np.sqrt(d31x * d31x + d31y * d31y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cosv = (d21x * d31x + d21y * d31y) / (m12 * m13)
+    return np.degrees(np.arccos(np.minimum(cosv, 1.0)))
+
+
+def seg_intersect(x1, y1, x2, y2, x3, y3, x4, y4):
+    """Proper segment x segment intersection test (Geo.h:458-474
+    semantics for the crossing case; collinear overlap reports False).
+    Vectorized; returns (hits: bool[], t: float[], u: float[])."""
+    x1, y1 = np.asarray(x1, np.float64), np.asarray(y1, np.float64)
+    d = (x2 - x1) * (np.asarray(y4) - y3) - (y2 - y1) * (np.asarray(x4) - x3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((np.asarray(x3) - x1) * (np.asarray(y4) - y3)
+             - (np.asarray(y3) - y1) * (np.asarray(x4) - x3)) / d
+        u = ((np.asarray(x3) - x1) * (np.asarray(y2) - y1)
+             - (np.asarray(y3) - y1) * (np.asarray(x2) - x1)) / d
+    hits = (d != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    return hits, t, u
+
+
+def seg_intersection(x1, y1, x2, y2, x3, y3, x4, y4):
+    """Intersection points of properly crossing segments (Geo.h:645-681);
+    NaN where no crossing."""
+    hits, t, _ = seg_intersect(x1, y1, x2, y2, x3, y3, x4, y4)
+    ix = np.where(hits, np.asarray(x1) + t * (np.asarray(x2) - x1), np.nan)
+    iy = np.where(hits, np.asarray(y1) + t * (np.asarray(y2) - y1), np.nan)
+    return ix, iy
+
+
+def convex_hull(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Indices of the convex hull in counter-clockwise order (Andrew
+    monotone chain — public algorithm; reference Geo.h:1219-1455)."""
+    pts = np.column_stack([np.asarray(xs, np.float64), np.asarray(ys, np.float64)])
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    if len(order) <= 2:
+        return order
+
+    def half(indices):
+        out: list[int] = []
+        for i in indices:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if (a[0] - o[0]) * (pts[i][1] - o[1]) - (a[1] - o[1]) * (pts[i][0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def polygon_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Shoelace area of a closed ring (vertices in order; Geo.h `area`)."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    return 0.5 * abs(float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))))
+
+
+def centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
+    """Point-set centroid (Geo.h `centroid` over point collections)."""
+    return float(np.mean(np.asarray(xs, np.float64))), float(np.mean(np.asarray(ys, np.float64)))
+
+
+def extend_box(boxes: np.ndarray) -> tuple[float, float, float, float]:
+    """Union of (xmin, ymin, xmax, ymax) boxes (Geo.h `extendBox`)."""
+    b = np.asarray(boxes, np.float64).reshape(-1, 4)
+    return (
+        float(b[:, 0].min()), float(b[:, 1].min()),
+        float(b[:, 2].max()), float(b[:, 3].max()),
+    )
+
+
 def douglas_peucker(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
     """Polyline simplification; returns boolean keep-mask
     (reference ``simplify`` Geo.h:1041-1075, applied with 0.5 m)."""

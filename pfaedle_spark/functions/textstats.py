@@ -127,34 +127,67 @@ FROM t
 """
 
 
+FP_K = 8
+FP_BASE = 257  # polynomial base; h*B + c stays < 2^63 with h < P31
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
-    """Document fingerprints: md5 of the normalized text plus a
-    winnowing-style min rolling 8-gram hash (character shingles)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    k = 8
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(k)),
-    )
-    min_gram_hash = F.array_min(F.transform(grams, lambda g: h31(g)))
-    return docs.select(
+    """Document fingerprints: md5 of the normalized text (one md5 per
+    DOC) plus a winnowing-style min 8-gram polynomial hash.
+
+    The per-gram hash is 8 integer multiply-adds over the char-code
+    array — replacing the earlier md5-per-gram (~2k md5/doc), which was
+    the single slowest bench query (BENCH_r01: 30 s; linear but 8x the
+    median). Same cross-engine-stable property: integer-only math."""
+    # materialize norm/codes as REAL columns before the gram transform:
+    # Spark does not CSE an expression referenced from inside sibling
+    # array lambdas, so an inline `codes` would be recomputed for every
+    # element_at — O(n^2) per doc (the round-1 MinHash lesson).
+    staged = docs.select(
         "doc_id",
-        F.md5(norm).alias("fp_md5"),
-        min_gram_hash.alias("fp_min_gram"),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("_norm"),
+    ).withColumn(
+        "_codes", F.transform(F.split(F.col("_norm"), ""), lambda c: F.ascii(c).cast("long"))
+    )
+
+    def gram_hash(i):
+        h = F.lit(0).cast("long")
+        for j in range(FP_K):
+            c = F.element_at(F.col("_codes"), (i + j).cast("int"))
+            h = (h * FP_BASE + c) % P31
+        return h
+
+    # short-doc guard: out-of-bounds element_at throws under ANSI mode;
+    # an empty position list yields NULL (as does the oracle's NULL-gram)
+    norm_len = F.length(F.col("_norm"))
+    positions = F.when(
+        norm_len >= FP_K, F.sequence(F.lit(1), norm_len - (FP_K - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return staged.select(
+        "doc_id",
+        F.md5(F.col("_norm")).alias("fp_md5"),
+        F.array_min(F.transform(positions, gram_hash)).alias("fp_min_gram"),
     )
 
 
 def fingerprints_sql() -> str:
-    k = 8
+    h = "0"
+    for j in range(FP_K):
+        h = f"(({h}) * {FP_BASE} + codes[i + {j}]) % {P31}"
     return f"""
 WITH t AS (
   SELECT doc_id,
          TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS norm
   FROM documents
+),
+c AS (
+  SELECT doc_id, norm,
+         LIST_TRANSFORM(STRING_SPLIT(norm, ''), ch -> CAST(ASCII(ch) AS BIGINT)) AS codes
+  FROM t
 )
 SELECT doc_id,
        MD5(norm) AS fp_md5,
-       LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(norm) - {k - 1}, 1) + 1),
-                               i -> {_h31_sql(f'SUBSTRING(norm, i, {k})')})) AS fp_min_gram
-FROM t
+       LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(norm) - {FP_K - 1}, 1) + 1),
+                               i -> {h})) AS fp_min_gram
+FROM c
 """

@@ -434,6 +434,130 @@ def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, f
     return {int(states[u]): d for u, d in dist.items()}
 
 
+def edge_dijkstra_path(csr: dict, source_edge: int, target_edge: int) -> list[int] | None:
+    """1x1 edge Dijkstra with predecessor capture: the state sequence
+    source..target, or None if unreachable (R10 needs the actual walked
+    edges — reference ``EDijkstra`` per-target path capture,
+    ``EDijkstra.h:190-418``)."""
+    idx = csr["idx"]
+    if source_edge not in idx or target_edge not in idx:
+        return None
+    indptr, dsts, cost, states = csr["indptr"], csr["dst"], csr["cost"], csr["states"]
+    src, tgt = idx[source_edge], idx[target_edge]
+    dist: dict[int, float] = {}
+    prev: dict[int, int] = {}
+    pq: list[tuple[float, int, int, int]] = [(0.0, int(states[src]), src, -1)]
+    while pq:
+        d, _, u, p = heapq.heappop(pq)
+        if u in dist:
+            continue
+        dist[u] = d
+        prev[u] = p
+        if u == tgt:
+            break
+        for i in range(indptr[u], indptr[u + 1]):
+            v = int(dsts[i])
+            if v not in dist:
+                heapq.heappush(pq, (d + float(cost[i]), int(states[v]), v, u))
+    if tgt not in dist:
+        return None
+    path = []
+    cur = tgt
+    while cur != -1:
+        path.append(int(states[cur]))
+        cur = prev[cur]
+    return path[::-1]
+
+
+def shape_assembly(
+    cand: DataFrame,
+    transitions_by_variant: dict[int, pd.DataFrame],
+    dedges_pdf: pd.DataFrame,
+) -> DataFrame:
+    """R10 + W2: assemble the aligned trip polyline from the walked
+    directed edges and emit cumulative distance along it.
+
+    Reference ``get_shape_line`` (shape_builder.cpp:80-119): walk hop
+    edge lists, orient each edge geometry by node identity ⊕ reversed
+    flag, concatenate; then the W2 running distance (:380-526). Directed
+    states already carry oriented coordinates, so orientation is the
+    state itself; hop paths come from per-winning-pair Dijkstra path
+    capture (the N×M matrix never materializes paths — only the
+    backtracked optimum re-runs 1×1 with predecessors, like the
+    reference's per-target path capture).
+
+    Output: (trip_id, pt_seq, x, y, cum_dist, hop_seq, edge_state).
+    """
+    spark = cand.sparkSession
+    fingerprints = trip_fingerprints(cand)
+    bc = spark.sparkContext.broadcast(transitions_by_variant)
+    bc_edges = spark.sparkContext.broadcast(
+        dedges_pdf.set_index("edge_id")[["x1", "y1", "x2", "y2", "length"]]
+    )
+
+    with_emis = cand.withColumn("emission", F.expr(emission_expr()))
+    keyed = with_emis.join(
+        fingerprints.select("trip_id", "fingerprint", "rep_trip", "variant"), "trip_id"
+    )
+    reps = keyed.filter(F.col("trip_id") == F.col("rep_trip")).select(
+        "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank"
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        chosen = _viterbi_full_one(pdf, bc.value)
+        variant = int(pdf["variant"].iloc[0])
+        csr = _vf_csr(bc.value, variant)
+        geo = bc_edges.value
+        fpr = chosen["fingerprint"].iloc[0]
+        states = chosen.sort_values("seq")["state_edge"].tolist()
+        walk: list[int] = []
+        for i in range(len(states) - 1):
+            p = edge_dijkstra_path(csr, int(states[i]), int(states[i + 1]))
+            if p is None:
+                continue
+            walk.extend(p[:-1])  # target re-enters as next hop's source
+        if states:
+            walk.append(int(states[-1]))
+        rows = []
+        cum = 0.0
+        first = True
+        for hop_seq, st in enumerate(walk):
+            orig = st % REV_OFF
+            e = geo.loc[orig]
+            if st >= REV_OFF:  # reversed orientation
+                sx, sy, ex, ey = e["x2"], e["y2"], e["x1"], e["y1"]
+            else:
+                sx, sy, ex, ey = e["x1"], e["y1"], e["x2"], e["y2"]
+            if first:
+                rows.append((fpr, 0, float(sx), float(sy), 0.0, -1, int(st)))
+                first = False
+            cum += float(e["length"])
+            rows.append((fpr, len(rows), float(ex), float(ey), cum, hop_seq, int(st)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "fingerprint", "pt_seq", "x", "y", "cum_dist", "hop_seq", "edge_state",
+            ],
+        )
+
+    n_part = spark.sparkContext.defaultParallelism * 2
+    solved = (
+        reps.repartition(n_part, "fingerprint")
+        .groupBy("fingerprint")
+        .applyInPandas(
+            solve,
+            schema=(
+                "fingerprint string, pt_seq long, x double, y double, "
+                "cum_dist double, hop_seq long, edge_state long"
+            ),
+        )
+    )
+    trips = fingerprints.select("trip_id", "fingerprint").distinct()
+    return trips.join(solved, "fingerprint").select(
+        "trip_id", "pt_seq", "x", "y", "cum_dist", "hop_seq", "edge_state"
+    )
+
+
 # --------------------------------------------------------------------
 # restricted_paths — the oracled query
 # --------------------------------------------------------------------

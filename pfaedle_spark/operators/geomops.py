@@ -1,0 +1,253 @@
+"""Geometry-library operators: segment intersection, box/centroid
+aggregates, altNames station similarity, self edges.
+
+* ``intersects`` / ``intersection`` — reference ``util/geo/Geo.h:
+  458-681``: proper segment crossing + intersection point. Expressed as
+  one dialect-neutral SQL string over the cell-joined pairs (JVM
+  codegen on the Spark side, bit-identical in the DuckDB oracle).
+* ``getBoundingBox`` / ``extendBox`` / ``centroid`` — ``Geo.h:55-106,
+  1219-1455``: per-trip extent aggregate. Coordinates are integral
+  doubles, so SUM is addition-order-independent and the centroid
+  division is bit-stable across engines.
+* ``station_info::simi`` with altNames — ``trgraph/station_info.cpp:
+  78-98``: any (name ∪ altNames) × (name ∪ altNames) pair with
+  statSimi > 0.5 ⇒ 1. The alt-name sets are tiny and fixed-width, so
+  the cross product is a GREATEST over statSimi terms — no shuffle
+  (the explode+join form is only needed for unbounded alt lists).
+* G9 ``writeSelfEdgs`` — ``trgraph/graph.cpp:202-211``: a self-loop
+  for every isolated station node (anti-join + append).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+from ..functions import strings
+from . import cells
+
+# synthetic diagonal probe segments (one per station): guaranteed to
+# properly cross grid edges
+DIAG_DX = 3000.0
+DIAG_DY = 1500.0
+
+SELF_EDGE_OFF = 8_000_000
+EXTENT_PAD = 100.0  # reference `pad` (BOX_PADDING analogue, scaled)
+
+
+# --------------------------------------------------------------------
+# segment intersection
+# --------------------------------------------------------------------
+
+# P = diagonal (dx1,dy1)-(dx2,dy2), Q = edge (x1,y1)-(x2,y2); proper
+# crossing via the parametric form — collinear (d == 0) reports none.
+_D = "((dx2 - dx1) * (y2 - y1) - (dy2 - dy1) * (x2 - x1))"
+_T = f"(((x1 - dx1) * (y2 - y1) - (y1 - dy1) * (x2 - x1)) / {_D})"
+_U = f"(((x1 - dx1) * (dy2 - dy1) - (y1 - dy1) * (dx2 - dx1)) / {_D})"
+_HIT = f"({_D} <> 0 AND {_T} >= 0 AND {_T} <= 1 AND {_U} >= 0 AND {_U} <= 1)"
+_IX = f"(dx1 + {_T} * (dx2 - dx1))"
+_IY = f"(dy1 + {_T} * (dy2 - dy1))"
+
+
+def segment_intersections(stations: DataFrame, edges: DataFrame) -> DataFrame:
+    """All proper crossings between per-station diagonal probe segments
+    and the edge set, via the padded-cell equi-join.
+
+    Output: (stop_id, edge_id, t, u, ix, iy)."""
+    diags = stations.select(
+        "stop_id",
+        F.col("x").alias("dx1"),
+        F.col("y").alias("dy1"),
+        (F.col("x") + DIAG_DX).alias("dx2"),
+        (F.col("y") + DIAG_DY).alias("dy2"),
+    )
+    dc = cells.bbox_cells(
+        diags,
+        F.least("dx1", "dx2"), F.least("dy1", "dy2"),
+        F.greatest("dx1", "dx2"), F.greatest("dy1", "dy2"),
+    )
+    ec = cells.edge_cells(edges)
+    j = dc.join(ec, "cell_id").dropDuplicates(["stop_id", "edge_id"])
+    return (
+        j.filter(F.expr(_HIT))
+        .select(
+            "stop_id",
+            "edge_id",
+            F.expr(_T).alias("t"),
+            F.expr(_U).alias("u"),
+            F.expr(_IX).alias("ix"),
+            F.expr(_IY).alias("iy"),
+        )
+    )
+
+
+def segment_intersections_sql() -> str:
+    import math
+
+    from .. import constants as C
+
+    n_dg = math.ceil(max(DIAG_DX, DIAG_DY) / C.CELL) + 1
+    n_ed = math.ceil(C.GRID_SPACING / C.CELL) + 1
+
+    def offs(n: int) -> str:
+        return "(VALUES " + ",".join(f"({i})" for i in range(n + 1)) + ")"
+
+    return f"""{sqlgen.with_ctes("stations", "edges")},
+diags AS (
+  SELECT stop_id, x AS dx1, y AS dy1, x + {DIAG_DX} AS dx2, y + {DIAG_DY} AS dy2
+  FROM stations
+),
+dcells AS (
+  SELECT d.*,
+         (CAST(FLOOR(LEAST(dx1,dx2)/{C.CELL}) AS BIGINT) + ox.o) * {C.CELL_STRIDE}
+         + CAST(FLOOR(LEAST(dy1,dy2)/{C.CELL}) AS BIGINT) + oy.o AS cell_id
+  FROM diags d, {offs(n_dg)} ox(o), {offs(n_dg)} oy(o)
+  WHERE CAST(FLOOR(LEAST(dx1,dx2)/{C.CELL}) AS BIGINT) + ox.o
+          <= CAST(FLOOR(GREATEST(dx1,dx2)/{C.CELL}) AS BIGINT)
+    AND CAST(FLOOR(LEAST(dy1,dy2)/{C.CELL}) AS BIGINT) + oy.o
+          <= CAST(FLOOR(GREATEST(dy1,dy2)/{C.CELL}) AS BIGINT)
+),
+ecells AS (
+  SELECT e.*,
+         (CAST(FLOOR(LEAST(x1,x2)/{C.CELL}) AS BIGINT) + ox.o) * {C.CELL_STRIDE}
+         + CAST(FLOOR(LEAST(y1,y2)/{C.CELL}) AS BIGINT) + oy.o AS cell_id
+  FROM edges e, {offs(n_ed)} ox(o), {offs(n_ed)} oy(o)
+  WHERE CAST(FLOOR(LEAST(x1,x2)/{C.CELL}) AS BIGINT) + ox.o
+          <= CAST(FLOOR(GREATEST(x1,x2)/{C.CELL}) AS BIGINT)
+    AND CAST(FLOOR(LEAST(y1,y2)/{C.CELL}) AS BIGINT) + oy.o
+          <= CAST(FLOOR(GREATEST(y1,y2)/{C.CELL}) AS BIGINT)
+),
+pairs AS (
+  SELECT DISTINCT d.stop_id, d.dx1, d.dy1, d.dx2, d.dy2,
+         e.edge_id, e.x1, e.y1, e.x2, e.y2
+  FROM dcells d JOIN ecells e USING (cell_id)
+)
+SELECT stop_id, edge_id, {_T} AS t, {_U} AS u, {_IX} AS ix, {_IY} AS iy
+FROM pairs WHERE {_HIT}
+"""
+
+
+# --------------------------------------------------------------------
+# trip extent (bbox / extendBox / centroid)
+# --------------------------------------------------------------------
+
+def trip_extent(points: DataFrame) -> DataFrame:
+    """Per-trip bounding box, padded box and centroid — one map-side
+    combinable aggregation."""
+    return points.groupBy("trip_id").agg(
+        F.count("*").cast("long").alias("n_points"),
+        (F.sum("x") / F.count("*")).alias("cx"),
+        (F.sum("y") / F.count("*")).alias("cy"),
+        F.min("x").alias("xmin"),
+        F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"),
+        F.max("y").alias("ymax"),
+        (F.min("x") - EXTENT_PAD).alias("xmin_pad"),
+        (F.min("y") - EXTENT_PAD).alias("ymin_pad"),
+        (F.max("x") + EXTENT_PAD).alias("xmax_pad"),
+        (F.max("y") + EXTENT_PAD).alias("ymax_pad"),
+    )
+
+
+def trip_extent_sql() -> str:
+    return f"""{sqlgen.with_ctes("points")}
+SELECT trip_id,
+       COUNT(*) AS n_points,
+       SUM(x) / COUNT(*) AS cx,
+       SUM(y) / COUNT(*) AS cy,
+       MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+       MIN(x) - {EXTENT_PAD} AS xmin_pad, MIN(y) - {EXTENT_PAD} AS ymin_pad,
+       MAX(x) + {EXTENT_PAD} AS xmax_pad, MAX(y) + {EXTENT_PAD} AS ymax_pad
+FROM points GROUP BY trip_id
+"""
+
+
+# --------------------------------------------------------------------
+# station_info::simi with altNames
+# --------------------------------------------------------------------
+
+def _stop_variants():
+    num = F.regexp_extract("stop_id", r"(\d+)", 1)
+    return [
+        F.col("stop_name"),
+        F.concat(F.lit("station "), num),
+        F.concat(F.lit("halt "), num),
+    ]
+
+
+def _node_variants():
+    return [
+        F.col("name"),
+        F.when(
+            F.col("node_id") % 3 == 0,
+            F.concat(F.lit("halt "), F.col("node_id").cast("string")),
+        ).otherwise(F.concat(F.lit("bahnhof "), F.col("node_id").cast("string"))),
+    ]
+
+
+def alt_name_simi(stations: DataFrame, station_nodes: DataFrame) -> DataFrame:
+    """(stop_id, node_id, simi): 1 iff ANY (name ∪ altNames) pair has
+    statSimi > 0.5 (station_info.cpp:78-98). Bounded alt sets ⇒ a
+    GREATEST over the cross product, fully JVM-side."""
+    j = stations.join(station_nodes, stations.true_node_id == station_nodes.node_id)
+    pair_simis = [
+        strings.stat_simi(a, b) for a in _stop_variants() for b in _node_variants()
+    ]
+    simi = F.when(F.greatest(*pair_simis) > 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+    return j.select("stop_id", "node_id", simi.alias("simi"))
+
+
+def alt_name_simi_sql() -> str:
+    num = "REGEXP_EXTRACT(stop_id, '(\\d+)', 1)"
+    stop_vars = ["stop_name", f"('station ' || {num})", f"('halt ' || {num})"]
+    node_vars = [
+        "name",
+        "(CASE WHEN node_id % 3 = 0 THEN 'halt ' || CAST(node_id AS VARCHAR)"
+        " ELSE 'bahnhof ' || CAST(node_id AS VARCHAR) END)",
+    ]
+    pair_simis = [
+        strings.stat_simi_sql(a, b) for a in stop_vars for b in node_vars
+    ]
+    greatest = "GREATEST(" + ", ".join(f"({p})" for p in pair_simis) + ")"
+    return f"""{sqlgen.with_ctes("stations", "station_nodes")}
+SELECT s.stop_id, n.node_id,
+       CASE WHEN {greatest} > 0.5 THEN 1.0 ELSE 0.0 END AS simi
+FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
+"""
+
+
+# --------------------------------------------------------------------
+# G9 — self edges for isolated station nodes
+# --------------------------------------------------------------------
+
+def self_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Self-loop rows for station nodes with no incident edge
+    (graph.cpp:202-211). Output: (edge_id, src, dst, length)."""
+    ends = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionAll(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    isolated = nodes.filter(F.col("is_station")).join(ends, "node_id", "left_anti")
+    return isolated.select(
+        (F.lit(SELF_EDGE_OFF) + F.col("node_id")).alias("edge_id"),
+        F.col("node_id").alias("src"),
+        F.col("node_id").alias("dst"),
+        F.lit(0.0).alias("length"),
+    )
+
+
+def self_edges_sql(edge_filter: str) -> str:
+    return f"""{sqlgen.with_ctes("nodes", "edges")},
+kept AS (SELECT * FROM edges WHERE {edge_filter}),
+ends AS (
+  SELECT DISTINCT node_id FROM (
+    SELECT src AS node_id FROM kept UNION ALL SELECT dst FROM kept
+  )
+)
+SELECT {SELF_EDGE_OFF} + n.node_id AS edge_id,
+       n.node_id AS src, n.node_id AS dst, 0.0 AS length
+FROM nodes n
+WHERE n.is_station AND n.node_id NOT IN (SELECT node_id FROM ends)
+"""

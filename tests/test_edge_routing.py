@@ -313,6 +313,59 @@ def test_viterbi_full_echo_trips_identical(spark):
     assert (m["acc_cost"] == m["acc_cost_e"]).all()
 
 
+def test_shape_assembly_geometric_invariants(spark):
+    """R10 gates: the assembled polyline is connected (every consecutive
+    point pair is a directed edge of the graph, correctly oriented),
+    cum_dist is the running sum of walked edge lengths, and the walk
+    starts at the first chosen candidate state's source point."""
+    from pfaedle_spark.operators import candidates as cand_ops
+
+    eds = ER._sub_edges(spark)
+    pts = datagen.points(spark, "/root/testdata/sf0.001").filter(
+        (F.col("x") < ER.SUB_N * 2048.0) & (F.col("y") < ER.SUB_N * 2048.0)
+    )
+    cand = cand_ops.candidate_edges(pts, eds)
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, eds))
+    nodes = datagen.nodes(spark)
+    tbv = {
+        v: ER.turn_transitions(
+            eds, restr, nodes, rattrs=ER.rattrs_for_variant(v)
+        ).toPandas()
+        for v in range(ER.N_RATTR_VARIANTS)
+    }
+    dedges = ER.directed_full(eds).toPandas()
+    got = ER.shape_assembly(cand, tbv, dedges).toPandas()
+    assert len(got) > 0
+    geo = dedges.set_index("edge_id")
+    for trip_id, g in got.groupby("trip_id"):
+        g = g.sort_values("pt_seq").reset_index(drop=True)
+        assert (g["cum_dist"].diff().dropna() > 0).all(), trip_id
+        for i in range(1, len(g)):
+            st = int(g["edge_state"].iloc[i])
+            e = geo.loc[st % ER.REV_OFF]
+            if st >= ER.REV_OFF:
+                sx, sy, ex, ey = e["x2"], e["y2"], e["x1"], e["y1"]
+            else:
+                sx, sy, ex, ey = e["x1"], e["y1"], e["x2"], e["y2"]
+            assert (g["x"].iloc[i], g["y"].iloc[i]) == (ex, ey), (trip_id, i)
+            assert (g["x"].iloc[i - 1], g["y"].iloc[i - 1]) == (sx, sy), (trip_id, i)
+            assert g["cum_dist"].iloc[i] - g["cum_dist"].iloc[i - 1] == pytest.approx(
+                e["length"], rel=1e-12
+            )
+    # the viterbi choice and the walk agree: each trip's first walked
+    # state is its first chosen candidate state
+    vit = ER.viterbi_full(cand, tbv).toPandas()
+    first_choice = (
+        vit.sort_values("seq").groupby("trip_id").first()["state_edge"].to_dict()
+    )
+    first_walk = (
+        got.sort_values("pt_seq").groupby("trip_id").first()["edge_state"].to_dict()
+    )
+    assert first_choice.keys() == first_walk.keys()
+    for t in first_choice:
+        assert first_choice[t] == first_walk[t], t
+
+
 def test_trip_clusters_matches_oracle(spark):
     assert_matches_oracle(
         entrymod.queries()["trip_clusters"](spark, "/root/testdata/sf0.001"),
