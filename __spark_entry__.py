@@ -118,6 +118,16 @@ def _q_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routing.hop_shortest_paths(cand, bidir)
 
 
+def _q_hop_paths_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 via the component-keyed subgraph COGROUP (no graph broadcast) —
+    the continental-scale fallback; shares hop_shortest_paths' oracle."""
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds.withColumn("oneway", F.lit(False)))
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    comps = datagen.nodes(spark).select("node_id", F.col("component").alias("label"))
+    return routing.hop_shortest_paths_cogrouped(cand, bidir, comps)
+
+
 def _q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     eds = datagen.edges(spark)
     cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
@@ -431,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_degrees": _q_degrees,
         "connected_components": _q_components,
         "hop_shortest_paths": _q_hop_paths,
+        "hop_paths_cogrouped": _q_hop_paths_cogrouped,
         "viterbi_align": _q_viterbi,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -479,6 +490,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _hop_paths_sql() -> str:
+    """Shared by hop_shortest_paths and hop_paths_cogrouped — identical
+    semantics, different physical plans (broadcast CSR vs component
+    cogroup)."""
+    return candidates.candidates_cte_sql() + f""",
+r1 AS (SELECT trip_id, seq, image_id, cand_node FROM cand WHERE rank = 1),
+hops AS (
+  SELECT trip_id, seq, image_id, cand_node,
+         LEAD(cand_node) OVER w AS to_node,
+         LEAD(image_id) OVER w AS to_image
+  FROM r1 WINDOW w AS (PARTITION BY trip_id ORDER BY seq)
+  QUALIFY to_node IS NOT NULL
+)
+SELECT trip_id, seq, image_id, to_image, cand_node, to_node,
+       CASE WHEN (cand_node % {C.GRID_N} < {C.RIVER_COL}) = (to_node % {C.GRID_N} < {C.RIVER_COL})
+            THEN (ABS(cand_node // {C.GRID_N} - to_node // {C.GRID_N})
+                + ABS(cand_node % {C.GRID_N} - to_node % {C.GRID_N})) * {C.GRID_SPACING}
+            ELSE NULL END AS path_cost
+FROM hops
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     import math
 
@@ -523,23 +556,8 @@ SELECT node_id,
        CASE WHEN col >= {C.RIVER_COL} THEN {C.RIVER_COL} ELSE 0 END AS label
 FROM nodes
 """,
-        "hop_shortest_paths": candidates.candidates_cte_sql()
-        + f""",
-r1 AS (SELECT trip_id, seq, image_id, cand_node FROM cand WHERE rank = 1),
-hops AS (
-  SELECT trip_id, seq, image_id, cand_node,
-         LEAD(cand_node) OVER w AS to_node,
-         LEAD(image_id) OVER w AS to_image
-  FROM r1 WINDOW w AS (PARTITION BY trip_id ORDER BY seq)
-  QUALIFY to_node IS NOT NULL
-)
-SELECT trip_id, seq, image_id, to_image, cand_node, to_node,
-       CASE WHEN (cand_node % {C.GRID_N} < {C.RIVER_COL}) = (to_node % {C.GRID_N} < {C.RIVER_COL})
-            THEN (ABS(cand_node // {C.GRID_N} - to_node // {C.GRID_N})
-                + ABS(cand_node % {C.GRID_N} - to_node % {C.GRID_N})) * {C.GRID_SPACING}
-            ELSE NULL END AS path_cost
-FROM hops
-""",
+        "hop_shortest_paths": _hop_paths_sql(),
+        "hop_paths_cogrouped": _hop_paths_sql(),
         # viterbi_align: per-trip DP (applyInPandas) — not SQL-expressible;
         # rows-only driver check; brute-force oracle lives in tests/test_routing.py
         "exact_dedup": dedup.exact_dedup_sql(),

@@ -107,13 +107,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
             )
         )
         doubled = doubled.localCheckpoint(eager=True)
-        changed = (
+        # fixpoint probe: isEmpty short-circuits on the first changed row
+        # (the common mid-iteration case), unlike a full count() job
+        unchanged = (
             doubled.join(labels, "node_id")
             .filter(F.col("new_label") != F.col("label"))
-            .count()
+            .isEmpty()
         )
         labels = doubled.withColumnRenamed("new_label", "label")
-        if changed == 0:
+        if unchanged:
             break
     return labels
 

@@ -190,8 +190,9 @@ def collapse_edges(edges: DataFrame, station_node_ids: DataFrame) -> DataFrame:
                 "left_anti",
             )
         )
-        n_safe = safe.count()
-        if n_safe == 0:
+        safe = safe.localCheckpoint(eager=True)  # reused 3x below; also
+        # lets the fixpoint probe short-circuit without re-deriving
+        if safe.isEmpty():
             break
         merged_edges = safe.select(
             F.col("e1").alias("edge_id"),

@@ -299,6 +299,97 @@ def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     )
 
 
+def hop_shortest_paths_cogrouped(
+    candidates: DataFrame,
+    edges_bidir: DataFrame,
+    components: DataFrame,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """R6 WITHOUT any driver-side graph broadcast — the continental-scale
+    fallback SCALING.md designs: hops and edges are cogrouped on the
+    component label, so each task receives exactly its component's
+    subgraph through the shuffle. Cross-component hops short-circuit to
+    NULL before routing (the component-infinity rule, router.cpp:598-599).
+
+    Output and semantics are identical to :func:`hop_shortest_paths`
+    (the driver oracle is shared), only the physical plan differs:
+    broadcast-CSR -> component-keyed subgraph join.
+    """
+    from pyspark.sql import Window
+
+    comp_from = components.select(
+        F.col("node_id").alias("cand_node"), F.col("label").alias("comp")
+    )
+    comp_to = components.select(
+        F.col("node_id").alias("to_node"), F.col("label").alias("to_comp")
+    )
+    w = Window.partitionBy("trip_id").orderBy("seq")
+    hops = (
+        candidates.filter("rank = 1")
+        .select("trip_id", "seq", "image_id", "cand_node")
+        .withColumn("to_node", F.lead("cand_node").over(w))
+        .withColumn("to_image", F.lead("image_id").over(w))
+        .filter(F.col("to_node").isNotNull())
+        .join(comp_from, "cand_node")
+        .join(comp_to, "to_node")
+    )
+    cross = hops.filter(F.col("comp") != F.col("to_comp")).select(
+        "trip_id", "seq", "image_id", "to_image", "cand_node", "to_node",
+        F.lit(None).cast("double").alias("path_cost"),
+    )
+    # trip-bucket salting: one component would otherwise be ONE task;
+    # replicating the (small, graph-side) edge set n_buckets x restores
+    # task parallelism while hops still never leave their subgraph.
+    within = hops.filter(F.col("comp") == F.col("to_comp")).withColumn(
+        "bucket", F.pmod(F.hash("trip_id"), F.lit(n_buckets))
+    )
+    comp_src = components.select(
+        F.col("node_id").alias("src"), F.col("label").alias("comp")
+    )
+    edges_comp = (
+        edges_bidir.join(comp_src, "src")
+        .select("comp", "src", "dst", "length", "level")
+        .withColumn(
+            "bucket", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+        )
+    )
+
+    def solve(hops_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["trip_id", "seq", "image_id", "to_image", "cand_node", "to_node"]
+        if len(hops_pdf) == 0 or len(edges_pdf) == 0:
+            out = hops_pdf[cols].copy() if len(hops_pdf) else pd.DataFrame(columns=cols)
+            out["path_cost"] = np.nan
+            return out
+        csr = build_csr(
+            edges_pdf[["src", "dst", "length", "level"]], level_punish=False
+        )
+        us = hops_pdf["cand_node"].to_numpy(np.int64)
+        vs = hops_pdf["to_node"].to_numpy(np.int64)
+        costs = np.full(len(hops_pdf), np.nan)
+        for u in np.unique(us):
+            mask = us == u
+            d = dijkstra(csr, int(u), set(int(v) for v in np.unique(vs[mask])))
+            costs[mask] = [d.get(int(v), np.nan) for v in vs[mask]]
+        out = hops_pdf[cols].copy()
+        out["path_cost"] = costs
+        return out
+
+    schema = (
+        "trip_id string, seq long, image_id string, to_image string, "
+        "cand_node long, to_node long, path_cost double"
+    )
+    solved = (
+        within.groupBy("comp", "bucket")
+        .cogroup(edges_comp.groupBy("comp", "bucket"))
+        .applyInPandas(solve, schema=schema)
+    )
+    out = solved.unionByName(cross)
+    return out.withColumn(
+        "path_cost",
+        F.when(F.isnan("path_cost"), F.lit(None)).otherwise(F.col("path_cost")),
+    )
+
+
 def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFrame:
     """R6 exposed as its own operator: cost of the shortest path between
     consecutive rank-1 candidate nodes of each trip, uniform weights.
