@@ -37,6 +37,7 @@ from pfaedle_spark.operators import (
     graph_passes,
     gtfs_ops,
     multimodal,
+    osmfilter,
     routing,
     simsearch,
     snap,
@@ -487,6 +488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_stats": _q_image_resize_stats,
         "frame_sample": _q_frame_sample,
         "tiles_payload": _q_tiles_payload,
+        "wkt_roundtrip": lambda spark, sf_dir: geomops.wkt_roundtrip(
+            datagen.edges(spark)
+        ),
+        "osm_filter_flags": osmfilter.filter_flags,
+        "way_levels": osmfilter.way_levels,
+        "normalize_chains": osmfilter.normalize_chains,
+        "line_first_match": osmfilter.line_first_match,
     }
 
 
@@ -633,4 +641,9 @@ SELECT p.image_id, {sqlgen.cell_id('p.x', 'p.y')} AS cell_id,
        i.caption, (i.w * i.h)::BIGINT AS n_bytes
 FROM points p JOIN images i USING (image_id)
 """,
+        "wkt_roundtrip": geomops.wkt_roundtrip_sql(),
+        "osm_filter_flags": osmfilter.filter_flags_sql(),
+        "way_levels": osmfilter.way_levels_sql(),
+        "normalize_chains": osmfilter.normalize_chains_sql(),
+        "line_first_match": osmfilter.line_first_match_sql(),
     }

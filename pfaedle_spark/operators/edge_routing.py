@@ -45,18 +45,12 @@ from .. import sqlgen
 from ..functions import strings
 from . import gtfs_ops
 
-# --- config weights (pfaedle.cfg:377-419 shipped defaults; field names
-#     mirror routing_options, router/misc.h:35-50) -----------------------
-OPTS = {
-    "level_punish": [1.0, 1.25, 1.5, 2.0, 2.5, 3.5, 5.0, 7.0],  # routing_lvl{0..7}_fac
-    "full_turn_punish": 3000.0,       # routing_full_turn_punish
-    "full_turn_angle": 100.0,         # routing_full_turn_angle (degrees)
-    "pass_thru_station_punish": 100.0,  # routing_pass_thru_station_punish
-    "oneway_punish_fac": 1.0,         # routing_one_way_meter_punish_fac
-    "oneway_edge_punish": 0.0,        # misc.h default (no per-edge punish)
-    "line_unmatched_punish_fac": 1.0,  # routing_line_unmatched_punish_fac
-    "no_lines_punish_fac": 0.0,       # routing_no_lines_punish_fac (cfg: off)
-}
+# --- config weights (pfaedle.cfg:377-419 semantics; field names mirror
+#     routing_options, router/misc.h:35-50). Parsed from the shipped MOT
+#     config (S8), not hard-coded: motconfig.MotConfig.routing_opts().
+from .. import motconfig as _MC
+
+OPTS = _MC.load("rail").routing_opts()
 
 THIRD = 0.333333333  # routing_attributes.h:40-47 uses this literal
 SIMI_EPS = 0.0001    # router.cpp:116 "cur < 0.0001 => perfect match"

@@ -251,3 +251,62 @@ SELECT {SELF_EDGE_OFF} + n.node_id AS edge_id,
 FROM nodes n
 WHERE n.is_station AND n.node_id NOT IN (SELECT node_id FROM ends)
 """
+
+
+# --------------------------------------------------------------------
+# WKT read / write (SURVEY §2.8 optional row; reference util/geo/Geo.h
+# getWKT / polyLineFromWKT — re-expressed as column expressions)
+# --------------------------------------------------------------------
+
+def wkt_roundtrip(edges: DataFrame) -> DataFrame:
+    """Write each edge segment as a WKT LINESTRING, parse it back with
+    regexp extraction, and recompute the length from the parsed coords.
+
+    Fixed '%.1f' formatting keeps the text bit-identical across engines
+    (Java format_string vs C printf agree for exactly-representable
+    doubles). Pure narrow projection — no shuffle, no UDF.
+    """
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        F.format_string("%.1f", F.col("x1")), F.lit(" "),
+        F.format_string("%.1f", F.col("y1")), F.lit(", "),
+        F.format_string("%.1f", F.col("x2")), F.lit(" "),
+        F.format_string("%.1f", F.col("y2")), F.lit(")"),
+    )
+    num = r"(-?[0-9]+\.[0-9]+)"
+    pat = rf"LINESTRING \({num} {num}, {num} {num}\)"
+    out = edges.select("edge_id", wkt.alias("wkt"))
+    px1 = F.regexp_extract("wkt", pat, 1).cast("double")
+    py1 = F.regexp_extract("wkt", pat, 2).cast("double")
+    px2 = F.regexp_extract("wkt", pat, 3).cast("double")
+    py2 = F.regexp_extract("wkt", pat, 4).cast("double")
+    return out.select(
+        "edge_id",
+        "wkt",
+        px1.alias("px1"), py1.alias("py1"),
+        px2.alias("px2"), py2.alias("py2"),
+        F.sqrt((px2 - px1) * (px2 - px1) + (py2 - py1) * (py2 - py1)).alias(
+            "parsed_len"
+        ),
+    )
+
+
+def wkt_roundtrip_sql() -> str:
+    num = r"(-?[0-9]+\.[0-9]+)"
+    pat = rf"LINESTRING \({num} {num}, {num} {num}\)"
+    return f"""{sqlgen.with_ctes("edges")},
+w AS (
+  SELECT edge_id,
+         'LINESTRING (' || printf('%.1f', x1) || ' ' || printf('%.1f', y1)
+         || ', ' || printf('%.1f', x2) || ' ' || printf('%.1f', y2) || ')' AS wkt
+  FROM edges
+)
+SELECT edge_id, wkt,
+       CAST(regexp_extract(wkt, '{pat}', 1) AS DOUBLE) AS px1,
+       CAST(regexp_extract(wkt, '{pat}', 2) AS DOUBLE) AS py1,
+       CAST(regexp_extract(wkt, '{pat}', 3) AS DOUBLE) AS px2,
+       CAST(regexp_extract(wkt, '{pat}', 4) AS DOUBLE) AS py2,
+       SQRT((CAST(regexp_extract(wkt, '{pat}', 3) AS DOUBLE) - CAST(regexp_extract(wkt, '{pat}', 1) AS DOUBLE)) ^ 2
+          + (CAST(regexp_extract(wkt, '{pat}', 4) AS DOUBLE) - CAST(regexp_extract(wkt, '{pat}', 2) AS DOUBLE)) ^ 2) AS parsed_len
+FROM w
+"""

@@ -72,7 +72,21 @@ def build_csr(edges_pdf: pd.DataFrame, level_punish: bool = True) -> dict:
         if ru != rv:
             comp[max(ru, rv)] = min(ru, rv)
     comp = np.array([find(i) for i in range(n)], dtype=np.int64)
-    return {"indptr": indptr, "dst": dst, "cost": cost, "n": n, "comp": comp}
+    csr = {"indptr": indptr, "dst": dst, "cost": cost, "n": n, "comp": comp}
+    # node coordinates (for the A* heuristic, R4): recoverable from the
+    # edge endpoints when the edge list carries them. Admissible because
+    # cost = length * punish >= length >= straight-line distance
+    # (min LEVEL_PUNISH factor is 1.0).
+    if {"x1", "y1", "x2", "y2"} <= set(edges_pdf.columns):
+        xy = np.full((n, 2), np.nan)
+        s_all = edges_pdf["src"].to_numpy(np.int64)
+        d_all = edges_pdf["dst"].to_numpy(np.int64)
+        xy[s_all, 0] = edges_pdf["x1"].to_numpy(np.float64)
+        xy[s_all, 1] = edges_pdf["y1"].to_numpy(np.float64)
+        xy[d_all, 0] = edges_pdf["x2"].to_numpy(np.float64)
+        xy[d_all, 1] = edges_pdf["y2"].to_numpy(np.float64)
+        csr["xy"] = xy
+    return csr
 
 
 # R9 route cache (reference ``router::cache``/``getCachedHops``,
@@ -121,15 +135,24 @@ def cached_dijkstra(csr: dict, source: int, targets: set[int]) -> dict[int, floa
     if hit is None:
         if len(_ROUTE_CACHE) > _ROUTE_CACHE_MAX:
             _ROUTE_CACHE.clear()
-        hit = dijkstra(csr, source, targets=targets)
+        if "xy" in csr and targets:
+            hit = astar(csr, source, targets)  # R4: same distances, fewer pops
+        else:
+            hit = dijkstra(csr, source, targets=targets)
         _ROUTE_CACHE[key] = hit
     return hit
 
 
-def dijkstra(csr: dict, source: int, targets: set[int] | None = None) -> dict[int, float]:
+def dijkstra(
+    csr: dict,
+    source: int,
+    targets: set[int] | None = None,
+    max_cost: float | None = None,
+) -> dict[int, float]:
     """Single-source shortest path with deterministic (d, node)
     tie-break (reference PQ order, EDijkstra.h:50-53). Early exit once
-    all targets are settled."""
+    all targets are settled; `max_cost` is the R5 hop-band cost cap —
+    nodes beyond the cap stay unreached (=> +inf at the caller)."""
     indptr, dst, cost = csr["indptr"], csr["dst"], csr["cost"]
     dist: dict[int, float] = {}
     remaining = set(targets) if targets is not None else None
@@ -138,6 +161,8 @@ def dijkstra(csr: dict, source: int, targets: set[int] | None = None) -> dict[in
         d, u = heapq.heappop(pq)
         if u in dist:
             continue
+        if max_cost is not None and d > max_cost:
+            break  # pq is sorted: everything else is farther
         dist[u] = d
         if remaining is not None:
             remaining.discard(u)
@@ -147,6 +172,46 @@ def dijkstra(csr: dict, source: int, targets: set[int] | None = None) -> dict[in
             v = int(dst[i])
             if v not in dist:
                 heapq.heappush(pq, (d + float(cost[i]), v))
+    return dist
+
+
+def astar(
+    csr: dict,
+    source: int,
+    targets: set[int],
+    max_cost: float | None = None,
+) -> dict[int, float]:
+    """R4 — multi-target A*: h(u) = min over targets of the straight-line
+    distance (admissible + consistent, so popped == settled exactly like
+    Dijkstra; reference heuristic ``router/router.h`` DistHeur /
+    ``router.cpp:119-145``). Returns exact distances for every settled
+    node, including all reachable targets."""
+    indptr, dst, cost, xy = csr["indptr"], csr["dst"], csr["cost"], csr["xy"]
+    txy = xy[np.fromiter(targets, dtype=np.int64)]
+
+    def h(u: int) -> float:
+        du = txy - xy[u]
+        # isolated nodes carry NaN coords -> heuristic 0 (still admissible)
+        return float(np.nan_to_num(np.sqrt((du * du).sum(axis=1)), nan=0.0).min())
+
+    dist: dict[int, float] = {}
+    remaining = set(targets)
+    pq: list[tuple[float, float, int]] = [(h(source), 0.0, source)]
+    while pq:
+        f, g, u = heapq.heappop(pq)
+        if u in dist:
+            continue
+        dist[u] = g
+        remaining.discard(u)
+        if not remaining:
+            break
+        for i in range(indptr[u], indptr[u + 1]):
+            v = int(dst[i])
+            if v not in dist:
+                g2 = g + float(cost[i])
+                if max_cost is not None and g2 > max_cost:
+                    continue  # R5 cap: prune pushes beyond the band
+                heapq.heappush(pq, (g2 + h(v), g2, v))
     return dist
 
 
@@ -174,7 +239,7 @@ def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     accumulated optimal cost at that layer.
     """
     spark = candidates.sparkSession
-    edges_pdf = edges_directed.select("src", "dst", "length", "level").toPandas()
+    edges_pdf = edges_directed.select("src", "dst", "length", "level", "x1", "y1", "x2", "y2").toPandas()
     bc = spark.sparkContext.broadcast(edges_pdf)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -256,7 +321,7 @@ def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     Cheaper than the global solve (one Dijkstra per layer), same output
     schema as viterbi_align minus acc optimality."""
     spark = candidates.sparkSession
-    edges_pdf = edges_directed.select("src", "dst", "length", "level").toPandas()
+    edges_pdf = edges_directed.select("src", "dst", "length", "level", "x1", "y1", "x2", "y2").toPandas()
     bc = spark.sparkContext.broadcast(edges_pdf)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -401,7 +466,7 @@ def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFra
     from pyspark.sql import Window
 
     spark = candidates.sparkSession
-    edges_pdf = edges_bidir.select("src", "dst", "length", "level").toPandas()
+    edges_pdf = edges_bidir.select("src", "dst", "length", "level", "x1", "y1", "x2", "y2").toPandas()
     bc = spark.sparkContext.broadcast(edges_pdf)
 
     w = Window.partitionBy("trip_id").orderBy("seq")

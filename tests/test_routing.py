@@ -127,3 +127,41 @@ def test_viterbi_deterministic_across_partitioning(spark):
         ["trip_id", "seq"], ignore_index=True
     )
     assert a.equals(b)
+
+
+def test_astar_parity_and_pruning(spark):
+    """R4: A* returns the same target distances as Dijkstra and settles
+    (strictly) fewer nodes; R5: the cost cap drops far targets only."""
+    edges_pdf = graph_ops.write_odir_edges(datagen.edges(spark)).select(
+        "src", "dst", "length", "level", "x1", "y1", "x2", "y2"
+    ).toPandas()
+    csr = routing.build_csr(edges_pdf)
+    assert "xy" in csr
+    rng = np.random.RandomState(11)
+    n = C.GRID_N * C.GRID_N
+    fewer = 0
+    for _ in range(10):
+        src = int(rng.randint(0, n))
+        targets = {int(t) for t in rng.choice(n, 4, replace=False)}
+        same_comp = {t for t in targets if csr["comp"][t] == csr["comp"][src]}
+        if not same_comp:
+            continue
+        da = routing.astar(csr, src, set(same_comp))
+        dd = routing.dijkstra(csr, src, targets=set(same_comp))
+        for t in same_comp:
+            assert da.get(t, np.inf) == pytest.approx(dd.get(t, np.inf))
+        if len(da) < len(dd):
+            fewer += 1
+    assert fewer >= 3, "A* should usually settle fewer nodes than Dijkstra"
+
+    # R5 cap: targets beyond the band become unreachable, near ones exact
+    src = 0
+    far = {n - 1}
+    near = {1}
+    full = routing.dijkstra(csr, src, targets=far | near)
+    capped = routing.dijkstra(csr, src, targets=far | near, max_cost=full[1] + 1.0)
+    assert capped.get(1) == pytest.approx(full[1])
+    assert (n - 1) not in capped
+    capped_a = routing.astar(csr, src, far | near, max_cost=full[1] + 1.0)
+    assert capped_a.get(1) == pytest.approx(full[1])
+    assert (n - 1) not in capped_a
