@@ -281,7 +281,9 @@ def _q_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-simi meters, pass-thru-station — bit-checked vs DuckDB)."""
     eds = datagen.edges(spark)
     restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, eds))
-    return edge_routing.turn_transitions(eds, restr, datagen.nodes(spark))
+    return edge_routing.turn_transitions(eds, restr, datagen.nodes(spark)).select(
+        "from_edge", "to_edge", "via_node", "cost"
+    )
 
 
 def _q_restricted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_roundtrip": lambda spark, sf_dir: geomops.wkt_roundtrip(
             datagen.edges(spark)
         ),
+        "group_attr_rules": lambda spark, sf_dir: stations.group_attr_rules(
+            datagen.station_nodes(spark)
+        ),
         "osm_filter_flags": osmfilter.filter_flags,
         "way_levels": osmfilter.way_levels,
         "normalize_chains": osmfilter.normalize_chains,
@@ -642,6 +647,7 @@ SELECT p.image_id, {sqlgen.cell_id('p.x', 'p.y')} AS cell_id,
 FROM points p JOIN images i USING (image_id)
 """,
         "wkt_roundtrip": geomops.wkt_roundtrip_sql(),
+        "group_attr_rules": stations.group_attr_rules_sql(),
         "osm_filter_flags": osmfilter.filter_flags_sql(),
         "way_levels": osmfilter.way_levels_sql(),
         "normalize_chains": osmfilter.normalize_chains_sql(),

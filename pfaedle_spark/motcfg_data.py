@@ -226,6 +226,7 @@ osm_station_name_attrs:
 osm_station_group_attrs:
 	uic_ref=500
 	wikidata=500
+	[public_transport=stop_area]uic_ref=500
 	name=100
 
 osm_edge_track_number_tags:

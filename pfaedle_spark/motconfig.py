@@ -65,7 +65,8 @@ class MotConfig:
     filters: dict[str, list[FilterRule]] = field(default_factory=dict)
     attr_lists: dict[str, list[str]] = field(default_factory=dict)
     rel_tags: dict[str, list[str]] = field(default_factory=dict)
-    group_attrs: list[tuple[str, float]] = field(default_factory=list)
+    # (relation-scope "k=v" prefix or None, attr, max group distance m)
+    group_attrs: list[tuple[str | None, str, float]] = field(default_factory=list)
     scalars: dict[str, str] = field(default_factory=dict)
 
     # -- derived accessors ------------------------------------------------
@@ -201,9 +202,16 @@ def _dispatch_entry(cfgs: list[MotConfig], key: str, body: str) -> None:
         for c in cfgs:
             c.rel_tags[name.strip()] = [a.strip() for a in attrs.split(",")]
     elif key == "osm_station_group_attrs":
-        attr, _, dist = body.partition("=")
+        # optional relation-scope prefix: [k=v]attr=dist
+        prefix = ""
+        rest = body
+        if body.startswith("["):
+            end = body.index("]")
+            prefix = body[1:end]
+            rest = body[end + 1 :]
+        attr, _, dist = rest.partition("=")
         for c in cfgs:
-            c.group_attrs.append((attr.strip(), float(dist)))
+            c.group_attrs.append((prefix or None, attr.strip(), float(dist)))
     elif key in _ATTR_LIST_KEYS:
         for c in cfgs:
             c.attr_lists[key].append(body.strip())

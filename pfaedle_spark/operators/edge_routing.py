@@ -308,6 +308,11 @@ def turn_transitions(
         F.col("b_edge").alias("to_edge"),
         F.col("a_dst").alias("via_node"),
         F.expr(cost_expr(opts)).alias("cost"),
+        # state start-node coords (A* heuristic: every transition cost
+        # >= a_len >= displacement of the from-edge's start node, so
+        # straight-line-to-target-start is admissible + consistent)
+        F.col("a_x1").alias("fx"), F.col("a_y1").alias("fy"),
+        F.col("b_x1").alias("tx"), F.col("b_y1").alias("ty"),
     )
 
 
@@ -395,13 +400,28 @@ def build_edge_csr(trans_pdf: pd.DataFrame) -> dict:
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, fi + 1, 1)
     indptr = np.cumsum(indptr)
-    return {"indptr": indptr, "dst": ti, "cost": cost, "states": states, "idx": idx}
+    csr = {"indptr": indptr, "dst": ti, "cost": cost, "states": states, "idx": idx}
+    # per-state start-node coords for the A* heuristic (see
+    # turn_transitions fx/fy/tx/ty)
+    if {"fx", "fy", "tx", "ty"} <= set(trans_pdf.columns):
+        xy = np.full((n, 2), np.nan)
+        all_fi = np.array([idx[int(e)] for e in frm], dtype=np.int64)
+        all_ti = np.array([idx[int(e)] for e in to], dtype=np.int64)
+        xy[all_fi, 0] = trans_pdf["fx"].to_numpy(np.float64)
+        xy[all_fi, 1] = trans_pdf["fy"].to_numpy(np.float64)
+        xy[all_ti, 0] = trans_pdf["tx"].to_numpy(np.float64)
+        xy[all_ti, 1] = trans_pdf["ty"].to_numpy(np.float64)
+        csr["xy"] = xy
+    return csr
 
 
 def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, float]:
     """Deterministic (d, state-edge-id) PQ order (EDijkstra.h:50-53 uses
-    (h, d); without a heuristic h == d). Early exit once all targets
-    settle. Keys/values in raw edge ids."""
+    (h, d) — with targets and state coords this IS A*: h = min straight
+    line to a target start node, admissible because every transition
+    cost >= a_len >= that displacement). Early exit once all targets
+    settle. Keys/values in raw edge ids; distances are exact either way.
+    """
     idx = csr["idx"]
     if source_edge not in idx:
         return {}
@@ -410,10 +430,31 @@ def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, f
     remaining = (
         {idx[t] for t in target_edges if t in idx} if target_edges is not None else None
     )
+    xy = csr.get("xy")
+    if xy is not None and remaining:
+        # whole-table heuristic in ONE vectorized pass (n x |targets|
+        # flops), cached per target set — every source of a DP layer
+        # shares the same targets, so pay the table once per layer
+        hkey = frozenset(remaining)
+        hcache = csr.setdefault("_hcache", {})
+        harr = hcache.get(hkey)
+        if harr is None:
+            if len(hcache) > 4096:
+                hcache.clear()
+            txy = xy[np.fromiter(remaining, dtype=np.int64)]
+            dx = xy[:, 0:1] - txy[None, :, 0].reshape(1, -1)
+            dy = xy[:, 1:2] - txy[None, :, 1].reshape(1, -1)
+            harr = np.nan_to_num(np.sqrt(dx * dx + dy * dy), nan=0.0).min(axis=1)
+            harr = harr.tolist()  # python floats: no np boxing per push
+            hcache[hkey] = harr
+    else:
+        harr = None
+
     dist: dict[int, float] = {}
-    pq: list[tuple[float, int, int]] = [(0.0, int(states[src]), src)]
+    h0 = harr[src] if harr is not None else 0.0
+    pq: list[tuple[float, float, int, int]] = [(h0, 0.0, int(states[src]), src)]
     while pq:
-        d, _, u = heapq.heappop(pq)
+        _, d, _, u = heapq.heappop(pq)
         if u in dist:
             continue
         dist[u] = d
@@ -421,10 +462,18 @@ def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, f
             remaining.discard(u)
             if not remaining:
                 break
-        for i in range(indptr[u], indptr[u + 1]):
-            v = int(dsts[i])
-            if v not in dist:
-                heapq.heappush(pq, (d + float(cost[i]), int(states[v]), v))
+        if harr is None:
+            for i in range(indptr[u], indptr[u + 1]):
+                v = int(dsts[i])
+                if v not in dist:
+                    d2 = d + float(cost[i])
+                    heapq.heappush(pq, (d2, d2, int(states[v]), v))
+        else:
+            for i in range(indptr[u], indptr[u + 1]):
+                v = int(dsts[i])
+                if v not in dist:
+                    d2 = d + float(cost[i])
+                    heapq.heappush(pq, (d2 + harr[v], d2, int(states[v]), v))
     return {int(states[u]): d for u, d in dist.items()}
 
 
@@ -438,11 +487,20 @@ def edge_dijkstra_path(csr: dict, source_edge: int, target_edge: int) -> list[in
         return None
     indptr, dsts, cost, states = csr["indptr"], csr["dst"], csr["cost"], csr["states"]
     src, tgt = idx[source_edge], idx[target_edge]
+    xy = csr.get("xy")
+    if xy is not None:  # 1x1 A*: the heuristic's best case
+        harr = np.nan_to_num(
+            np.hypot(xy[:, 0] - xy[tgt, 0], xy[:, 1] - xy[tgt, 1]), nan=0.0
+        ).tolist()
+    else:
+        harr = None
+
     dist: dict[int, float] = {}
     prev: dict[int, int] = {}
-    pq: list[tuple[float, int, int, int]] = [(0.0, int(states[src]), src, -1)]
+    h0 = harr[src] if harr is not None else 0.0
+    pq: list[tuple[float, float, int, int, int]] = [(h0, 0.0, int(states[src]), src, -1)]
     while pq:
-        d, _, u, p = heapq.heappop(pq)
+        _, d, _, u, p = heapq.heappop(pq)
         if u in dist:
             continue
         dist[u] = d
@@ -452,7 +510,9 @@ def edge_dijkstra_path(csr: dict, source_edge: int, target_edge: int) -> list[in
         for i in range(indptr[u], indptr[u + 1]):
             v = int(dsts[i])
             if v not in dist:
-                heapq.heappush(pq, (d + float(cost[i]), int(states[v]), v, u))
+                d2 = d + float(cost[i])
+                hv = harr[v] if harr is not None else 0.0
+                heapq.heappush(pq, (d2 + hv, d2, int(states[v]), v, u))
     if tgt not in dist:
         return None
     path = []
@@ -483,6 +543,9 @@ def shape_assembly(
     Output: (trip_id, pt_seq, x, y, cum_dist, hop_seq, edge_state).
     """
     spark = cand.sparkSession
+    # the candidate spatial join feeds THREE branches (fingerprints,
+    # keyed, trips) — materialize it once
+    cand = cand.localCheckpoint(eager=False)
     fingerprints = trip_fingerprints(cand)
     bc = spark.sparkContext.broadcast(transitions_by_variant)
     bc_edges = spark.sparkContext.broadcast(
@@ -493,6 +556,8 @@ def shape_assembly(
     keyed = with_emis.join(
         fingerprints.select("trip_id", "fingerprint", "rep_trip", "variant"), "trip_id"
     )
+    # see viterbi_full: materialize before fan-out to reps + trips join
+    keyed = keyed.localCheckpoint(eager=False)
     reps = keyed.filter(F.col("trip_id") == F.col("rep_trip")).select(
         "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank"
     )
@@ -769,6 +834,9 @@ def viterbi_full(
     per (trip, seq): chosen directed edge state + costs.
     """
     spark = cand.sparkSession
+    # candidate join feeds both the fingerprint and emission branches —
+    # materialize once
+    cand = cand.localCheckpoint(eager=False)
     if fingerprints is None:
         fingerprints = trip_fingerprints(cand)
     bc = spark.sparkContext.broadcast(transitions_by_variant)
@@ -777,6 +845,10 @@ def viterbi_full(
     keyed = with_emis.join(
         fingerprints.select("trip_id", "fingerprint", "rep_trip", "variant"), "trip_id"
     )
+    # both the reps (DP input) and members (join-back) branches read
+    # `keyed`; without materialization each branch re-runs the whole
+    # candidate spatial join — at any scale that is the dominant cost
+    keyed = keyed.localCheckpoint(eager=False)
     reps = keyed.filter(F.col("trip_id") == F.col("rep_trip")).select(
         "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank"
     )
@@ -884,17 +956,32 @@ def _viterbi_full_one(pdf: pd.DataFrame, trans_by_variant: dict) -> pd.DataFrame
     )
 
 
+_VARIANT_TRANS_CACHE: dict = {}
+
+
 def build_variant_transitions(spark: SparkSession, edges: DataFrame) -> dict[int, pd.DataFrame]:
     """One transition table per route-attr variant (the reference keys
-    its route cache by rAttrs the same way, router.cpp:626-688)."""
+    its route cache by rAttrs the same way, router.cpp:626-688).
+
+    Memoized per SparkSession: the tables are deterministic functions of
+    the (static) graph, and both viterbi_full and shape_assembly need
+    them — rebuilding 3 self-join jobs per query invocation is pure
+    waste (driver-side cache, graph-sized, same budget as the CSR
+    broadcast)."""
     from .. import datagen
 
-    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
-    nodes = datagen.nodes(spark)
-    return {
-        v: turn_transitions(edges, restr, nodes, rattrs=rattrs_for_variant(v)).toPandas()
-        for v in range(N_RATTR_VARIANTS)
-    }
+    key = id(spark)
+    if key not in _VARIANT_TRANS_CACHE:
+        restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
+        nodes = datagen.nodes(spark)
+        _VARIANT_TRANS_CACHE.clear()  # one live session at a time
+        _VARIANT_TRANS_CACHE[key] = {
+            v: turn_transitions(
+                edges, restr, nodes, rattrs=rattrs_for_variant(v)
+            ).toPandas()
+            for v in range(N_RATTR_VARIANTS)
+        }
+    return _VARIANT_TRANS_CACHE[key]
 
 
 def restricted_paths_sql() -> str:

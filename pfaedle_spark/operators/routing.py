@@ -187,16 +187,17 @@ def astar(
     ``router.cpp:119-145``). Returns exact distances for every settled
     node, including all reachable targets."""
     indptr, dst, cost, xy = csr["indptr"], csr["dst"], csr["cost"], csr["xy"]
+    # whole-table heuristic in one vectorized pass (isolated nodes carry
+    # NaN coords -> 0, still admissible); per-push python math would
+    # cost more than the pruning saves
     txy = xy[np.fromiter(targets, dtype=np.int64)]
-
-    def h(u: int) -> float:
-        du = txy - xy[u]
-        # isolated nodes carry NaN coords -> heuristic 0 (still admissible)
-        return float(np.nan_to_num(np.sqrt((du * du).sum(axis=1)), nan=0.0).min())
+    dx = xy[:, 0:1] - txy[None, :, 0].reshape(1, -1)
+    dy = xy[:, 1:2] - txy[None, :, 1].reshape(1, -1)
+    harr = np.nan_to_num(np.sqrt(dx * dx + dy * dy), nan=0.0).min(axis=1).tolist()
 
     dist: dict[int, float] = {}
     remaining = set(targets)
-    pq: list[tuple[float, float, int]] = [(h(source), 0.0, source)]
+    pq: list[tuple[float, float, int]] = [(harr[source], 0.0, source)]
     while pq:
         f, g, u = heapq.heappop(pq)
         if u in dist:
@@ -211,7 +212,7 @@ def astar(
                 g2 = g + float(cost[i])
                 if max_cost is not None and g2 > max_cost:
                     continue  # R5 cap: prune pushes beyond the band
-                heapq.heappush(pq, (g2 + h(v), g2, v))
+                heapq.heappush(pq, (g2 + harr[v], g2, v))
     return dist
 
 

@@ -256,3 +256,166 @@ SELECT DISTINCT p.image_id, s.node_id
 FROM points p JOIN polys s
   ON ABS(p.x - s.cx) + ABS(p.y - s.cy) <= s.r
 """
+
+
+# --------------------------------------------------------------------
+# A3b — cfg-driven group-attr rule chain (osm_station_group_attrs)
+# --------------------------------------------------------------------
+
+def _station_attr_exprs() -> list[tuple[str, str]]:
+    """Synthetic per-platform attrs (valid in BOTH engines). Keyed off
+    the PARENT station id so platforms of one station share values (the
+    grouping signal) while a platform-local term varies coverage."""
+    return [
+        ("uic_ref", "CASE WHEN node_id % 3 = 0 THEN 'uic_' || CAST(node_id AS STRING) ELSE NULL END"),
+        ("wikidata", "CASE WHEN node_id % 4 = 1 THEN 'Q' || CAST(node_id AS STRING) ELSE NULL END"),
+        ("name_attr", "'st ' || CAST(node_id AS STRING)"),
+        ("in_stop_area", "CASE WHEN node_id % 2 = 0 THEN 'stop_area' ELSE NULL END"),
+    ]
+
+
+# platform fan-out per station: 1 + node_id % 3 members, offset tens of
+# meters (inside the 100/500 m rule radii; station grid pitch is 2048 m,
+# so members of DIFFERENT stations never group)
+_PLAT_DX = 41.0
+_PLAT_DY = 29.0
+
+
+def group_attr_rules(station_nodes: DataFrame) -> DataFrame:
+    """First-match group rule per candidate station pair, following the
+    cfg ``osm_station_group_attrs`` chain (reference first-matching-rule
+    semantics, ``pfaedle.cfg:341-352`` comment + ``osm_builder`` group
+    joining): rule i fires iff both stations carry the attr with EQUAL
+    value, their distance is within the rule's max, and (for
+    ``[k=v]``-prefixed rules) both are inside the required relation
+    scope.
+
+    Candidate pairs come from per-attr equi-joins on the attr VALUE
+    (never a cross join — the reference's grid range query becomes a
+    value-keyed shuffle join, the 100 TB-safe shape), deduped, then the
+    whole chain is evaluated per pair. Output: (node_a, node_b, rule_idx,
+    rule_attr, dist).
+    """
+    from .. import motconfig as MC
+
+    cfg = MC.load("rail")
+    base = (
+        station_nodes.select("node_id", "x", "y")
+        .select(
+            "node_id",
+            F.explode(F.sequence(F.lit(0), (F.col("node_id") % 7) % 3)).alias("p"),
+            "x",
+            "y",
+        )
+        .select(
+            (F.col("node_id") * 4 + F.col("p")).alias("pid"),
+            "node_id",
+            (F.col("x") + F.col("p") * _PLAT_DX).alias("x"),
+            (F.col("y") + F.col("p") * _PLAT_DY).alias("y"),
+        )
+    )
+    for name, expr in _station_attr_exprs():
+        base = base.withColumn(name, F.expr(expr))
+    base = base.drop("node_id")
+
+    attr_of = {"uic_ref": "uic_ref", "wikidata": "wikidata", "name": "name_attr"}
+    pair_sets = []
+    for _, attr, _d in cfg.group_attrs:
+        col = attr_of[attr]
+        a = base.select(
+            F.col("pid").alias("node_a"), F.col(col).alias("k")
+        ).filter(F.col("k").isNotNull())
+        b = base.select(
+            F.col("pid").alias("node_b"), F.col(col).alias("k")
+        ).filter(F.col("k").isNotNull())
+        pair_sets.append(
+            a.join(b, "k").filter(F.col("node_a") < F.col("node_b")).select("node_a", "node_b")
+        )
+    pairs = pair_sets[0]
+    for p in pair_sets[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.distinct()
+
+    pa = base.select(*(F.col(c).alias(f"a_{c}") for c in base.columns))
+    pb = base.select(*(F.col(c).alias(f"b_{c}") for c in base.columns))
+    j = (
+        pairs.join(pa, pairs.node_a == pa.a_pid)
+        .join(pb, pairs.node_b == pb.b_pid)
+    )
+    dist = F.sqrt(
+        (F.col("a_x") - F.col("b_x")) * (F.col("a_x") - F.col("b_x"))
+        + (F.col("a_y") - F.col("b_y")) * (F.col("a_y") - F.col("b_y"))
+    )
+    rule_idx = F.lit(None).cast("int")
+    rule_attr = F.lit(None).cast("string")
+    for i, (prefix, attr, maxd) in reversed(list(enumerate(cfg.group_attrs))):
+        col = attr_of[attr]
+        cond = (
+            F.col(f"a_{col}").isNotNull()
+            & F.col(f"b_{col}").isNotNull()
+            & (F.col(f"a_{col}") == F.col(f"b_{col}"))
+            & (dist <= F.lit(maxd))
+        )
+        if prefix:
+            cond = cond & F.col("a_in_stop_area").isNotNull() & F.col("b_in_stop_area").isNotNull()
+        rule_idx = F.when(cond, F.lit(i)).otherwise(rule_idx)
+        rule_attr = F.when(cond, F.lit(attr)).otherwise(rule_attr)
+    return (
+        j.select(
+            "node_a", "node_b",
+            rule_idx.alias("rule_idx"),
+            rule_attr.alias("rule_attr"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("rule_idx").isNotNull())
+    )
+
+
+def group_attr_rules_sql() -> str:
+    from .. import motconfig as MC
+
+    cfg = MC.load("rail")
+    attr_of = {"uic_ref": "uic_ref", "wikidata": "wikidata", "name": "name_attr"}
+    attrs = ",\n         ".join(f"{e} AS {n}" for n, e in _station_attr_exprs())
+    unions = "\n  UNION\n".join(
+        f"  SELECT a.pid AS node_a, b.pid AS node_b FROM sn a "
+        f"JOIN sn b ON a.{attr_of[attr]} = b.{attr_of[attr]} AND a.pid < b.pid"
+        for _, attr, _d in cfg.group_attrs
+    )
+    dist = "SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))"
+    whens = []
+    for i, (prefix, attr, maxd) in enumerate(cfg.group_attrs):
+        col = attr_of[attr]
+        cond = (
+            f"a.{col} IS NOT NULL AND b.{col} IS NOT NULL AND a.{col} = b.{col} "
+            f"AND {dist} <= {maxd}"
+        )
+        if prefix:
+            cond += " AND a.in_stop_area IS NOT NULL AND b.in_stop_area IS NOT NULL"
+        whens.append((f"WHEN {cond} THEN {i}", f"WHEN {cond} THEN '{attr}'"))
+    idx_case = "CASE " + " ".join(w for w, _ in whens) + " ELSE NULL END"
+    attr_case = "CASE " + " ".join(w for _, w in whens) + " ELSE NULL END"
+    return f"""{sqlgen.with_ctes("station_nodes")},
+plat AS (
+  SELECT s.node_id, g.p,
+         s.node_id * 4 + g.p AS pid,
+         s.x + g.p * {_PLAT_DX} AS x,
+         s.y + g.p * {_PLAT_DY} AS y
+  FROM station_nodes s, (VALUES (0),(1),(2)) g(p)
+  WHERE g.p <= (s.node_id % 7) % 3
+),
+sn AS (
+  SELECT pid, x, y,
+         {attrs}
+  FROM plat
+),
+pairs AS (
+{unions}
+)
+SELECT p.node_a, p.node_b,
+       CAST({idx_case} AS INTEGER) AS rule_idx,
+       {attr_case} AS rule_attr,
+       {dist} AS dist
+FROM pairs p JOIN sn a ON p.node_a = a.pid JOIN sn b ON p.node_b = b.pid
+WHERE {idx_case} IS NOT NULL
+"""

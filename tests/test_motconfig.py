@@ -20,6 +20,10 @@ def test_parse_sections_and_merge():
     assert rail.snap_distances() == [10.0, 100.0, 200.0]
     assert rail.routing_opts()["level_punish"][1] == 1.25
     assert rail.rel_tags["line_name"] == ["ref", "name"]
+    # group-attr rules keep priority order; [k=v]-prefixed rules carry scope
+    assert rail.group_attrs[0] == (None, "uic_ref", 500.0)
+    assert rail.group_attrs[2] == ("public_transport=stop_area", "uic_ref", 500.0)
+    assert rail.group_attrs[-1] == (None, "name", 100.0)
 
 
 def test_chain_rule_parsing():
@@ -83,6 +87,19 @@ def test_normalizer_semantics(spark):
     assert out[3] == "foo"  # track info deleted
     # und->'+', umlaut fold, sankt->'st. '
     assert out[4] == "st. georgen + sued"
+
+
+def test_group_attr_rules_oracle(spark):
+    """cfg osm_station_group_attrs first-match chain over platform sets."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import stations
+
+    df = stations.group_attr_rules(datagen.station_nodes(spark))
+    pdf = df.toPandas()
+    # all three unshadowed rules fire somewhere; scoped rule 2 is
+    # first-match-shadowed by rule 0 (same attr, earlier)
+    assert set(pdf["rule_idx"].unique()) == {0, 1, 3}
+    assert_matches_oracle(df, stations.group_attr_rules_sql())
 
 
 def test_oneway_exception_list(spark):
