@@ -70,8 +70,13 @@ def candidate_edges(
     else:
         joined = pc.join(ec, "cell_id")
 
-    dedup = joined.dropDuplicates(["image_id", "edge_id"])
-    with_dist = dedup.withColumn("dist", F.expr(DIST_EXPR)).filter(F.col("dist") <= radius)
+    # dist + radius filter + cand_node all run MAP-SIDE (before any
+    # shuffle): the radius filter drops rows and the projection narrows
+    # them, so the one shuffle below moves a fraction of the join output.
+    # (The previous shape shuffled the full wide join twice — once for
+    # dropDuplicates, once for the window — and shuffle serialization,
+    # not the dist math, dominated the stage.)
+    with_dist = joined.withColumn("dist", F.expr(DIST_EXPR)).filter(F.col("dist") <= radius)
     # cand_node: nearer edge endpoint — the routing state of this candidate
     # (reference promotes the projection to a node, osm_builder.cpp:1363-1506)
     near_src = (
@@ -81,16 +86,23 @@ def candidate_edges(
         (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2"))
         + (F.col("y") - F.col("y2")) * (F.col("y") - F.col("y2"))
     )
-    with_dist = with_dist.withColumn("cand_node", F.when(near_src, F.col("src")).otherwise(F.col("dst")))
+    with_dist = with_dist.withColumn(
+        "cand_node", F.when(near_src, F.col("src")).otherwise(F.col("dst"))
+    ).select(
+        "image_id", "trip_id", "seq", "x", "y",
+        "edge_id", "src", "dst", "level", "oneway", "cand_node", "dist",
+    )
+    # ONE shuffle keyed by image_id serves BOTH the per-(image, edge)
+    # dedup and the top-k window: HashPartitioning(image_id) satisfies
+    # the clustered distribution of each (subset-key co-location), so
+    # Catalyst inserts no further exchange.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    with_dist = with_dist.repartition(par * 2, "image_id")
+    dedup = with_dist.dropDuplicates(["image_id", "edge_id"])
     w = Window.partitionBy("image_id").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
     return (
-        with_dist.withColumn("rank", F.row_number().over(w))
+        dedup.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "image_id", "trip_id", "seq", "x", "y",
-            "edge_id", "src", "dst", "level", "oneway", "cand_node",
-            "dist", "rank",
-        )
     )
 
 

@@ -894,7 +894,10 @@ def _vf_route(csr: dict, variant: int, src: int, targets: frozenset) -> dict:
     if hit is None:
         if len(_VF_ROUTE_CACHE) > 100_000:
             _VF_ROUTE_CACHE.clear()
-        hit = edge_dijkstra(csr, src, targets)
+        res = edge_dijkstra(csr, src, targets)
+        # targets-only (see routing.cached_dijkstra): full settled dicts
+        # at cache cap are worker-memory killers
+        hit = {t: res[t] for t in targets if t in res}
         _VF_ROUTE_CACHE[key] = hit
     return hit
 

@@ -136,9 +136,14 @@ def cached_dijkstra(csr: dict, source: int, targets: set[int]) -> dict[int, floa
         if len(_ROUTE_CACHE) > _ROUTE_CACHE_MAX:
             _ROUTE_CACHE.clear()
         if "xy" in csr and targets:
-            hit = astar(csr, source, targets)  # R4: same distances, fewer pops
+            res = astar(csr, source, targets)  # R4: same distances, fewer pops
         else:
-            hit = dijkstra(csr, source, targets=targets)
+            res = dijkstra(csr, source, targets=targets)
+        # store ONLY the target distances: callers read targets and
+        # nothing else, and full settled-set dicts at the cache cap are
+        # gigabytes per worker (measured: 16 workers swapped the box and
+        # scaling efficiency fell off a cliff)
+        hit = {t: res[t] for t in targets if t in res}
         _ROUTE_CACHE[key] = hit
     return hit
 

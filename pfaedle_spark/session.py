@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # shuffle/spill dir: this box has ONE virtual disk — a shared
+        # resource that serializes shuffle I/O regardless of core count
+        # (a cluster's per-node local SSDs scale with executors). tmpfs
+        # restores the per-core I/O a real deployment has.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

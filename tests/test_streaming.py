@@ -56,3 +56,36 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
     assert len(first) == 1000
     again = st.run_available_now(st.stream_tiles(spark, src), cp)
     assert len(again) == 0
+
+
+def test_stateful_stream_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: last emission per key ==
+    batch groupBy(md5(text)) winner + count, across multiple
+    micro-batches (maxFilesPerTrigger=2 forces state carry-over)."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.streaming import stream_dedup as sd
+
+    src = str(tmp_path / "docs_src")
+    datagen.dedup_corpus(spark, SF_DIR).repartition(6).write.parquet(src)
+
+    stream = sd.stream_exact_dedup(
+        sd.keyed_docs(sd.read_doc_stream(spark, src, max_files_per_trigger=2))
+    )
+    rows = st.run_available_now(stream, str(tmp_path / "cp_dedup"), mode="update")
+    assert rows
+    final = {}
+    for r in rows:  # update mode: later emissions supersede earlier
+        cur = final.get(r.h)
+        if cur is None or r.n_seen > cur[1]:
+            final[r.h] = (r.first_doc_id, r.n_seen)
+
+    batch = (
+        sd.keyed_docs(datagen.dedup_corpus(spark, SF_DIR))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.count("*").alias("n"))
+        .collect()
+    )
+    want = {r.h: (r.mn, r.n) for r in batch}
+    assert final == want
+    # planted duplicates must actually exercise the state (n > 1 keys)
+    assert any(n > 1 for _, n in final.values())
