@@ -96,8 +96,11 @@ def candidate_edges(
     # dedup and the top-k window: HashPartitioning(image_id) satisfies
     # the clustered distribution of each (subset-key co-location), so
     # Catalyst inserts no further exchange.
-    par = points.sparkSession.sparkContext.defaultParallelism
-    with_dist = with_dist.repartition(par * 2, "image_id")
+    # no pinned partition count: spark.sql.shuffle.partitions sizes the
+    # exchange and AQE coalesces the (post-filter, narrow) output —
+    # pinning N here disables that coalesce and doubles task overhead
+    # on small inputs for zero benefit at scale.
+    with_dist = with_dist.repartition("image_id")
     dedup = with_dist.dropDuplicates(["image_id", "edge_id"])
     w = Window.partitionBy("image_id").orderBy(F.col("dist").asc(), F.col("edge_id").asc())
     return (

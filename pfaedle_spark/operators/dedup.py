@@ -241,7 +241,10 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
 
     Bucket self-join on (band, band_sig); signature agreement computed
     from the signatures themselves (exact rational k/NUM_PERMS)."""
-    sig = minhash_signatures(docs)
+    # the signature table feeds THREE consumers (bands + both sides of
+    # the agreement join): materialize once or the md5-per-shingle
+    # signature fold re-runs per branch — the dominant cost of the query
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
     bands = lsh_bands(sig)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
@@ -290,9 +293,11 @@ def ngram_jaccard(docs: DataFrame) -> DataFrame:
 
     |A ∩ B| via join on (shingle hash), |A ∪ B| = |A|+|B|-|A∩B|; the
     division of two exact integers is bit-identical across engines."""
-    sh = shingles(docs)
+    # shingles feed sizes + both join sides; the LSH pair list feeds the
+    # intersection join and the left-join spine — materialize each once
+    sh = shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    pairs = minhash_pairs(docs).select("doc_a", "doc_b")
+    pairs = minhash_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh_hash")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh_hash")
     inter = (

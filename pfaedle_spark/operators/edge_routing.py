@@ -547,7 +547,7 @@ def shape_assembly(
     # keyed, trips) — materialize it once
     cand = cand.localCheckpoint(eager=False)
     fingerprints = trip_fingerprints(cand)
-    bc = spark.sparkContext.broadcast(transitions_by_variant)
+    bc = spark.sparkContext.broadcast(tag_transitions(transitions_by_variant))
     bc_edges = spark.sparkContext.broadcast(
         dedges_pdf.set_index("edge_id")[["x1", "y1", "x2", "y2", "length"]]
     )
@@ -839,7 +839,7 @@ def viterbi_full(
     cand = cand.localCheckpoint(eager=False)
     if fingerprints is None:
         fingerprints = trip_fingerprints(cand)
-    bc = spark.sparkContext.broadcast(transitions_by_variant)
+    bc = spark.sparkContext.broadcast(tag_transitions(transitions_by_variant))
 
     with_emis = cand.withColumn("emission", F.expr(emission_expr()))
     keyed = with_emis.join(
@@ -875,31 +875,126 @@ def viterbi_full(
 
 
 _VF_CSR_CACHE: dict = {}
-_VF_ROUTE_CACHE: dict = {}
+
+# driver-side token generator: two DIFFERENT transition tables must never
+# share a cache slot (same hazard class as routing._ROUTE_CACHE keying on
+# id(csr) — a dead object's address can be reused). The token is minted
+# once per transitions dict on the driver and travels inside the
+# broadcast, so executor-side cache keys are collision-free by
+# construction.
+_VF_TOKEN_COUNTER = __import__("itertools").count(1)
+
+
+class TransitionSet(dict):
+    """Transitions-by-variant mapping + an identity token (a plain dict
+    subclass: keys/iteration unchanged, the token rides as an instance
+    attribute and survives pickling into the broadcast)."""
+
+    _vf_token: tuple | None = None
+
+
+def tag_transitions(tbv: dict) -> "TransitionSet":
+    """Return a token-carrying view of a transitions-by-variant dict
+    (idempotent on already-tagged sets). All executor cache keys derive
+    from the token."""
+    if getattr(tbv, "_vf_token", None) is not None:
+        return tbv  # type: ignore[return-value]
+    out = TransitionSet(tbv)
+    out._vf_token = (id(tbv), next(_VF_TOKEN_COUNTER))
+    return out
 
 
 def _vf_csr(bc_value: dict, variant: int) -> dict:
-    key = variant
+    key = (getattr(bc_value, "_vf_token", None), variant)
     if key not in _VF_CSR_CACHE:
         if len(_VF_CSR_CACHE) > 8:
             _VF_CSR_CACHE.clear()
-            _VF_ROUTE_CACHE.clear()
-        _VF_CSR_CACHE[key] = build_edge_csr(bc_value[variant])
+        csr = build_edge_csr(bc_value[variant])
+        csr["cache_key"] = key
+        _VF_CSR_CACHE[key] = csr
     return _VF_CSR_CACHE[key]
 
 
-def _vf_route(csr: dict, variant: int, src: int, targets: frozenset) -> dict:
-    key = (variant, src, targets)
-    hit = _VF_ROUTE_CACHE.get(key)
-    if hit is None:
-        if len(_VF_ROUTE_CACHE) > 100_000:
-            _VF_ROUTE_CACHE.clear()
-        res = edge_dijkstra(csr, src, targets)
-        # targets-only (see routing.cached_dijkstra): full settled dicts
-        # at cache cap are worker-memory killers
-        hit = {t: res[t] for t in targets if t in res}
-        _VF_ROUTE_CACHE[key] = hit
-    return hit
+def _layer_heuristic(csr: dict, tgt_idx: frozenset) -> list | None:
+    """Admissible per-state A* heuristic (min straight-line displacement
+    to any target's start node), cached per target set — all seeds of a
+    DP layer share one table."""
+    xy = csr.get("xy")
+    if xy is None or not tgt_idx:
+        return None
+    hcache = csr.setdefault("_hcache", {})
+    harr = hcache.get(tgt_idx)
+    if harr is None:
+        if len(hcache) > 4096:
+            hcache.clear()
+        txy = xy[np.fromiter(tgt_idx, dtype=np.int64)]
+        dx = xy[:, 0:1] - txy[None, :, 0].reshape(1, -1)
+        dy = xy[:, 1:2] - txy[None, :, 1].reshape(1, -1)
+        harr = np.nan_to_num(np.sqrt(dx * dx + dy * dy), nan=0.0).min(axis=1)
+        harr = harr.tolist()  # python floats: no np boxing per push
+        hcache[tgt_idx] = harr
+    return harr
+
+
+def edge_dijkstra_viterbi_step(
+    csr: dict,
+    seeds: list[tuple[int, float]],
+    targets: list[int],
+) -> tuple[dict[int, float], dict[int, int]]:
+    """ONE multi-source A* for a whole Viterbi layer transition.
+
+    ``seeds`` are (state edge id, accumulated DP cost) for the previous
+    layer; the heap is seeded with those costs, so a settled target t
+    directly carries min_i(dp_i + dist(i -> t)) — the min-plus product
+    the DP needs — without ever materializing the |prev| x |cur| matrix
+    or running |prev| separate searches (the reference pays the full
+    N x M hop matrix per layer, router.cpp:626-688; the combined
+    frontier here explores each region once).
+
+    Returns ({target edge id: min total cost}, {target edge id: seed
+    ORDINAL that won}). Deterministic: heap ties break on (cost, state
+    edge id, seed ordinal).
+    """
+    idx = csr["idx"]
+    indptr, dsts, cost, states = csr["indptr"], csr["dst"], csr["cost"], csr["states"]
+    remaining = {idx[t] for t in targets if t in idx}
+    tgt_idx = frozenset(remaining)
+    harr = _layer_heuristic(csr, tgt_idx)
+
+    pq: list[tuple[float, float, int, int, int]] = []
+    for ordn, (s, c) in enumerate(seeds):
+        si = idx.get(int(s))
+        if si is None or not math.isfinite(c):
+            continue
+        h0 = harr[si] if harr is not None else 0.0
+        pq.append((c + h0, c, int(states[si]), ordn, si))
+    heapq.heapify(pq)
+
+    dist: dict[int, float] = {}
+    origin: dict[int, int] = {}
+    while pq and remaining:
+        _, d, _, ordn, u = heapq.heappop(pq)
+        if u in dist:
+            continue
+        dist[u] = d
+        origin[u] = ordn
+        remaining.discard(u)
+        if not remaining:
+            break
+        for i in range(indptr[u], indptr[u + 1]):
+            v = int(dsts[i])
+            if v not in dist:
+                d2 = d + float(cost[i])
+                hv = harr[v] if harr is not None else 0.0
+                heapq.heappush(pq, (d2 + hv, d2, int(states[v]), ordn, v))
+    out_d: dict[int, float] = {}
+    out_o: dict[int, int] = {}
+    for t in targets:
+        ti = idx.get(t)
+        if ti is not None and ti in dist:
+            out_d[t] = dist[ti]
+            out_o[t] = origin[ti]
+    return out_d, out_o
 
 
 def _viterbi_full_one(pdf: pd.DataFrame, trans_by_variant: dict) -> pd.DataFrame:
@@ -927,17 +1022,12 @@ def _viterbi_full_one(pdf: pd.DataFrame, trans_by_variant: dict) -> pd.DataFrame
     for li in range(1, len(layers)):
         prev_l, cur_l = layers[li - 1], layers[li]
         prev_states = prev_l["state"].to_numpy(np.int64)
-        cur_states = cur_l["state"].to_numpy(np.int64)
-        tgt = frozenset(int(t) for t in np.unique(cur_states))
-        trans = np.full((len(prev_l), len(cur_l)), np.inf)
-        for i, s in enumerate(prev_states):
-            d = _vf_route(csr, variant, int(s), tgt)
-            trans[i, :] = [d.get(int(t), np.inf) for t in cur_states]
+        cur_states = [int(t) for t in cur_l["state"].to_numpy(np.int64)]
+        seeds = list(zip((int(s) for s in prev_states), dp_cost[-1].tolist()))
+        d, o = edge_dijkstra_viterbi_step(csr, seeds, cur_states)
         emission = cur_l["emission"].to_numpy(np.float64)
-        total = dp_cost[-1][:, None] + trans + emission[None, :]
-        best_prev = np.argmin(total, axis=0)
-        dp_cost.append(total[best_prev, np.arange(total.shape[1])])
-        dp_prev.append(best_prev)
+        dp_cost.append(np.array([d.get(t, np.inf) for t in cur_states]) + emission)
+        dp_prev.append(np.array([o.get(t, 0) for t in cur_states], dtype=np.int64))
 
     choice = np.zeros(len(layers), dtype=np.int64)
     choice[-1] = int(np.argmin(dp_cost[-1]))
@@ -978,13 +1068,30 @@ def build_variant_transitions(spark: SparkSession, edges: DataFrame) -> dict[int
         restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
         nodes = datagen.nodes(spark)
         _VARIANT_TRANS_CACHE.clear()  # one live session at a time
-        _VARIANT_TRANS_CACHE[key] = {
-            v: turn_transitions(
-                edges, restr, nodes, rattrs=rattrs_for_variant(v)
-            ).toPandas()
-            for v in range(N_RATTR_VARIANTS)
-        }
+        _VARIANT_TRANS_CACHE[key] = tag_transitions({
+            v: pdf.drop(columns="__variant__").reset_index(drop=True)
+            for v, pdf in _all_variant_transitions(edges, restr, nodes)
+        })
     return _VARIANT_TRANS_CACHE[key]
+
+
+def _all_variant_transitions(edges, restr, nodes):
+    """All variants' transition tables in ONE Spark job (union with a
+    variant tag + single Arrow collect) instead of N sequential
+    build+collect jobs — the per-variant branches differ only in folded
+    rattr literals, so they parallelize perfectly inside one job."""
+    from functools import reduce
+
+    dfs = [
+        turn_transitions(edges, restr, nodes, rattrs=rattrs_for_variant(v))
+        .withColumn("__variant__", F.lit(v))
+        for v in range(N_RATTR_VARIANTS)
+    ]
+    allpdf = reduce(lambda a, b: a.unionByName(b), dfs).toPandas()
+    return [
+        (v, allpdf[allpdf["__variant__"] == v])
+        for v in range(N_RATTR_VARIANTS)
+    ]
 
 
 def restricted_paths_sql() -> str:
