@@ -269,24 +269,93 @@ FROM way_tags ORDER BY way_id
 def line_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 — osm_line_relation_tags: first non-empty normalized value per
     priority list (line via line chain, from/to via station chain), plus
-    the first-match track tag (osm_edge_track_number_tags)."""
+    the first-match track tag (osm_edge_track_number_tags).
+
+    Scale design — normalize DISTINCT values, not rows: tag values
+    repeat massively in OSM, and inlining attrs x chain-rules
+    regexp_replaces per output column into one projection blows janino's
+    64 KB method limit (whole-stage falls back to interpreted eval).
+    Here candidates explode long-form, each chain runs once over the
+    tiny distinct value set, and a broadcast join + min-priority agg
+    recovers the per-way first match — regex work is O(distinct values)
+    instead of O(rows x attrs)."""
     from .. import datagen
 
     cfg = MC.load("rail")
     wt = way_tags(datagen.documents(spark, sf_dir))
-    tags = F.col("tags")
-    line_c = cfg.chains["line_normalize_chain"]
-    stat_c = cfg.chains["station_normalize_chain"]
-    track_c = cfg.chains["track_normalize_chain"]
-    return wt.select(
-        "way_id",
-        MC.first_match_col(cfg.rel_tags["line_name"], line_c, tags).alias("line_name"),
-        MC.first_match_col(cfg.rel_tags["from_name"], stat_c, tags).alias("from_name"),
-        MC.first_match_col(cfg.rel_tags["to_name"], stat_c, tags).alias("to_name"),
-        MC.first_match_col(
-            cfg.attr_lists["osm_edge_track_number_tags"], track_c, tags
-        ).alias("track"),
-    ).orderBy("way_id")
+    chains = {
+        "line": cfg.chains["line_normalize_chain"],
+        "station": cfg.chains["station_normalize_chain"],
+        "track": cfg.chains["track_normalize_chain"],
+    }
+    outputs = [
+        ("line_name", "line", cfg.rel_tags["line_name"]),
+        ("from_name", "station", cfg.rel_tags["from_name"]),
+        ("to_name", "station", cfg.rel_tags["to_name"]),
+        ("track", "track", cfg.attr_lists["osm_edge_track_number_tags"]),
+    ]
+    # reference the scalar twin columns (same source exprs as the tags
+    # map, and exactly what the oracle's _tag_expr reads) — going through
+    # element_at(tags, k) would inline the whole map construction into
+    # every candidate after project collapse
+    def _raw(key: str):
+        col = _tag_expr(key)
+        return F.col(col) if col != "NULL" else F.lit(None).cast("string")
+
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(out).alias("out"),
+                F.lit(ci).alias("chain"),
+                F.lit(prio).alias("prio"),
+                _raw(a).alias("raw"),
+            )
+            for out, ci, attrs in outputs
+            for prio, a in enumerate(attrs)
+        ]
+    )
+    long = (
+        wt.select("way_id", F.explode(cand).alias("c"))
+        .select("way_id", "c.*")
+        .filter(F.col("raw").isNotNull())
+    )
+    norms = None
+    for ci, chain in chains.items():
+        vals = long.filter(F.col("chain") == ci).select("raw").distinct()
+        nd = vals.select(
+            F.lit(ci).alias("chain"),
+            "raw",
+            F.nullif(MC.norm_col(chain, F.col("raw")), F.lit("")).alias("norm"),
+        )
+        norms = nd if norms is None else norms.unionByName(nd)
+    # inner equi-join; the null guard lives INSIDE the agg's when() — a
+    # top-level filter(norm IS NOT NULL) makes Catalyst infer the
+    # constraint through the join and duplicate the full regex chain
+    # into a Filter on the norms branch (a 192-matcher method janino
+    # refuses to compile)
+    best = (
+        long.join(F.broadcast(norms), ["chain", "raw"])
+        .groupBy("way_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        (F.col("out") == out) & F.col("norm").isNotNull(),
+                        F.struct("prio", "norm"),
+                    )
+                )
+                .getField("norm")
+                .alias(out)
+                for out, _, _ in outputs
+            ]
+        )
+    )
+    return (
+        wt.select("way_id")
+        .join(best, "way_id", "left")
+        .select("way_id", "line_name", "from_name", "to_name", "track")
+        .orderBy("way_id")
+    )
 
 
 def line_first_match_sql() -> str:
