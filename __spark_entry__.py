@@ -189,6 +189,13 @@ def _q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_assign_counts(datagen.embeddings(spark, sf_dir))
 
 
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (SRP-LSH banded, exact
+    cosine verify on bucket-mates only) — the dense-vector analogue of
+    minhash_pairs."""
+    return simsearch.emb_neardup(datagen.embeddings(spark, sf_dir))
+
+
 # --- station / string / graph-pass ops --------------------------------
 
 def _q_maxspeed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +308,12 @@ def _q_line_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intersects/intersection (Geo.h:458-681) over cell-joined pairs."""
     return geomops.segment_intersections(datagen.stations(spark), datagen.edges(spark))
+
+
+def _q_trip_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convexHull/area (Geo.h:55-106,1219-1455): relational hull-edge
+    predicate + orderless shoelace, exact in both engines."""
+    return geomops.trip_hull(datagen.points(spark, sf_dir))
 
 
 def _q_trip_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": _q_ann_brute,
         "ivf_topk": _q_ivf_topk,
         "ivf_buckets": _q_ivf_buckets,
+        "emb_neardup": _q_emb_neardup,
         "maxspeed_parse": _q_maxspeed,
         "name_similarity": _q_name_simi,
         "station_groups": _q_station_groups,
@@ -477,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_splits": _q_snap_splits,
         "segment_intersections": _q_segment_intersections,
         "trip_extent": _q_trip_extent,
+        "trip_hull": _q_trip_hull,
         "alt_name_simi": _q_alt_name_simi,
         "self_edges": _q_self_edges,
         "netgraph_usage": _q_netgraph_usage,
@@ -584,6 +599,7 @@ FROM nodes
         "ann_brute": simsearch.ann_brute_sql(),
         "ivf_topk": simsearch.ivf_topk_sql(),
         "ivf_buckets": simsearch.ivf_assign_counts_sql(),
+        "emb_neardup": simsearch.emb_neardup_sql(),
         "maxspeed_parse": sqlgen.with_ctes("edges")
         + f"""
 SELECT edge_id, {strings.maxspeed_raw_sql('edge_id')} AS raw,
@@ -625,6 +641,7 @@ edges_pruned AS (
         "snap_splits": snap.snap_with_splits_sql(),
         "segment_intersections": geomops.segment_intersections_sql(),
         "trip_extent": geomops.trip_extent_sql(),
+        "trip_hull": geomops.trip_hull_sql(),
         "alt_name_simi": geomops.alt_name_simi_sql(),
         "self_edges": geomops.self_edges_sql(SELF_EDGE_FILTER),
         # viterbi_full / shape_geoms: per-cluster layered DP + path walk

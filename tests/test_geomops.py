@@ -98,3 +98,31 @@ def test_wkt_roundtrip_oracle(spark):
     # parsed length equals the original edge length exactly
     row = df.limit(1).collect()[0]
     assert row["wkt"].startswith("LINESTRING (")
+
+
+def test_trip_hull_matches_oracle(spark):
+    from conftest import SF_DIR
+
+    assert_matches_oracle(
+        entrymod.queries()["trip_hull"](spark, SF_DIR),
+        entrymod.oracle_sql()["trip_hull"],
+    )
+
+
+def test_trip_hull_matches_numpy_hull(spark):
+    """The relational hull-edge predicate must agree with the
+    Andrew-monotone-chain reference (functions.geo.convex_hull)."""
+    from conftest import SF_DIR
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import geomops
+
+    pts = datagen.points(spark, SF_DIR).select("trip_id", "x", "y").collect()
+    by_trip = {}
+    for r in pts:
+        by_trip.setdefault(r.trip_id, []).append((r.x, r.y))
+    for r in geomops.trip_hull(datagen.points(spark, SF_DIR)).collect():
+        xs = np.array([p[0] for p in by_trip[r.trip_id]])
+        ys = np.array([p[1] for p in by_trip[r.trip_id]])
+        hull = geo.convex_hull(xs, ys)
+        assert r.n_hull == len(hull)
+        assert r.hull_area == pytest.approx(geo.polygon_area(xs[hull], ys[hull]))

@@ -147,3 +147,22 @@ def test_ivf_recall_vs_brute(spark):
 def test_ivf_buckets_cover_all_vectors(spark):
     total = sum(r.n_vectors for r in simsearch.ivf_assign_counts(_emb(spark)).collect())
     assert total == _emb(spark).count()
+
+
+def test_emb_neardup_oracle(spark):
+    assert_matches_oracle(simsearch.emb_neardup(_emb(spark)), simsearch.emb_neardup_sql())
+
+
+def test_emb_neardup_finds_every_planted_pair(spark):
+    """Recall must be exact: every jittered copy pairs with its base
+    (cosine ≈ 0.9999), and no pair of distinct base vectors survives
+    (the testdata embeddings are mutually near-orthogonal)."""
+    rows = simsearch.emb_neardup(_emb(spark)).collect()
+    n_base = _emb(spark).count()
+    planted = {
+        (v, v + simsearch.VAR_OFFSET)
+        for v in range(0, n_base, simsearch.VSTRIDE)
+    }
+    got = {(r.a_id, r.b_id) for r in rows}
+    assert got == planted
+    assert all(r.cosine >= simsearch.NEARDUP_THRESH for r in rows)
