@@ -59,11 +59,16 @@ def main() -> None:
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
 
-    # flagship: end-to-end matching pipeline (the BASELINE.json metric)
+    # flagship: end-to-end matching pipeline (the BASELINE.json metric).
+    # min over 3 trials: single shots on this VM swing 30%+ from CPU
+    # steal / python-worker respawn (same protocol as bench_scaling.py);
+    # min measures the engine, not the hypervisor.
     n_images = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    t0 = time.perf_counter()
-    entrymod._flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    flagship = time.perf_counter() - t0
+    flagship = 9e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        entrymod._flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        flagship = min(flagship, time.perf_counter() - t0)
 
     out = {
         "metric": "e2e matching pipeline wall (candidates->viterbi->tiles)",

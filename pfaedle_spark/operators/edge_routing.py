@@ -412,6 +412,23 @@ def build_edge_csr(trans_pdf: pd.DataFrame) -> dict:
         xy[all_ti, 0] = trans_pdf["tx"].to_numpy(np.float64)
         xy[all_ti, 1] = trans_pdf["ty"].to_numpy(np.float64)
         csr["xy"] = xy
+    # weak-component labels over the state graph: the R6 shortcut
+    # (router.cpp:598-599 — different component => cost inf). Without
+    # it, ONE cross-component target in a Viterbi layer makes the A*
+    # exhaust the whole reachable graph before concluding "unreachable".
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = int(parent[a])
+        return a
+
+    for a, b in zip(fi.tolist(), ti.tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[ra] = rb
+    csr["comp"] = np.array([find(i) for i in range(n)], dtype=np.int64)
     return csr
 
 
@@ -430,6 +447,14 @@ def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, f
     remaining = (
         {idx[t] for t in target_edges if t in idx} if target_edges is not None else None
     )
+    # R6 component shortcut: cross-component targets are inf — drop them
+    # so early exit still fires instead of sweeping the reachable graph
+    comp = csr.get("comp")
+    if comp is not None and remaining:
+        sc = int(comp[src])
+        remaining = {t for t in remaining if int(comp[t]) == sc}
+        if not remaining:
+            return {}
     xy = csr.get("xy")
     if xy is not None and remaining:
         # whole-table heuristic in ONE vectorized pass (n x |targets|
@@ -445,13 +470,12 @@ def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, f
             dx = xy[:, 0:1] - txy[None, :, 0].reshape(1, -1)
             dy = xy[:, 1:2] - txy[None, :, 1].reshape(1, -1)
             harr = np.nan_to_num(np.sqrt(dx * dx + dy * dy), nan=0.0).min(axis=1)
-            harr = harr.tolist()  # python floats: no np boxing per push
             hcache[hkey] = harr
     else:
         harr = None
 
     dist: dict[int, float] = {}
-    h0 = harr[src] if harr is not None else 0.0
+    h0 = float(harr[src]) if harr is not None else 0.0
     pq: list[tuple[float, float, int, int]] = [(h0, 0.0, int(states[src]), src)]
     while pq:
         _, d, _, u = heapq.heappop(pq)
@@ -473,7 +497,7 @@ def edge_dijkstra(csr: dict, source_edge: int, target_edges=None) -> dict[int, f
                 v = int(dsts[i])
                 if v not in dist:
                     d2 = d + float(cost[i])
-                    heapq.heappush(pq, (d2 + harr[v], d2, int(states[v]), v))
+                    heapq.heappush(pq, (d2 + float(harr[v]), d2, int(states[v]), v))
     return {int(states[u]): d for u, d in dist.items()}
 
 
@@ -487,17 +511,29 @@ def edge_dijkstra_path(csr: dict, source_edge: int, target_edge: int) -> list[in
         return None
     indptr, dsts, cost, states = csr["indptr"], csr["dst"], csr["cost"], csr["states"]
     src, tgt = idx[source_edge], idx[target_edge]
+    comp = csr.get("comp")
+    if comp is not None and int(comp[src]) != int(comp[tgt]):
+        return None  # R6: cross-component => unreachable, skip the sweep
     xy = csr.get("xy")
     if xy is not None:  # 1x1 A*: the heuristic's best case
-        harr = np.nan_to_num(
-            np.hypot(xy[:, 0] - xy[tgt, 0], xy[:, 1] - xy[tgt, 1]), nan=0.0
-        ).tolist()
+        # cache per target: shape assembly walks MANY consecutive state
+        # pairs against the same graph, and a fresh |states| table (let
+        # alone a tolist) per call dominates the search itself
+        hcache = csr.setdefault("_hcache_1x1", {})
+        harr = hcache.get(tgt)
+        if harr is None:
+            if len(hcache) > 4096:
+                hcache.clear()
+            harr = np.nan_to_num(
+                np.hypot(xy[:, 0] - xy[tgt, 0], xy[:, 1] - xy[tgt, 1]), nan=0.0
+            )
+            hcache[tgt] = harr
     else:
         harr = None
 
     dist: dict[int, float] = {}
     prev: dict[int, int] = {}
-    h0 = harr[src] if harr is not None else 0.0
+    h0 = float(harr[src]) if harr is not None else 0.0
     pq: list[tuple[float, float, int, int, int]] = [(h0, 0.0, int(states[src]), src, -1)]
     while pq:
         _, d, _, u, p = heapq.heappop(pq)
@@ -511,7 +547,7 @@ def edge_dijkstra_path(csr: dict, source_edge: int, target_edge: int) -> list[in
             v = int(dsts[i])
             if v not in dist:
                 d2 = d + float(cost[i])
-                hv = harr[v] if harr is not None else 0.0
+                hv = float(harr[v]) if harr is not None else 0.0
                 heapq.heappush(pq, (d2 + hv, d2, int(states[v]), v, u))
     if tgt not in dist:
         return None
@@ -599,7 +635,7 @@ def shape_assembly(
             ],
         )
 
-    n_part = spark.sparkContext.defaultParallelism * 2
+    n_part = spark.sparkContext.defaultParallelism * 4
     solved = (
         reps.repartition(n_part, "fingerprint")
         .groupBy("fingerprint")
@@ -856,7 +892,7 @@ def viterbi_full(
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         return _viterbi_full_one(pdf, bc.value)
 
-    n_part = spark.sparkContext.defaultParallelism * 2
+    n_part = spark.sparkContext.defaultParallelism * 4
     solved = (
         reps.repartition(n_part, "fingerprint")
         .groupBy("fingerprint")
@@ -931,7 +967,9 @@ def _layer_heuristic(csr: dict, tgt_idx: frozenset) -> list | None:
         dx = xy[:, 0:1] - txy[None, :, 0].reshape(1, -1)
         dy = xy[:, 1:2] - txy[None, :, 1].reshape(1, -1)
         harr = np.nan_to_num(np.sqrt(dx * dx + dy * dy), nan=0.0).min(axis=1)
-        harr = harr.tolist()  # python floats: no np boxing per push
+        # keep the ndarray: a tolist() here allocates |states| python
+        # floats per distinct layer target set, while A* only ever reads
+        # the states it explores
         hcache[tgt_idx] = harr
     return harr
 
@@ -958,15 +996,25 @@ def edge_dijkstra_viterbi_step(
     idx = csr["idx"]
     indptr, dsts, cost, states = csr["indptr"], csr["dst"], csr["cost"], csr["states"]
     remaining = {idx[t] for t in targets if t in idx}
+
+    live_seeds = []
+    for ordn, (s, c) in enumerate(seeds):
+        si = idx.get(int(s))
+        if si is not None and math.isfinite(c):
+            live_seeds.append((ordn, si, c))
+    # R6 component shortcut (router.cpp:598-599): a target in a weak
+    # component no seed can reach is inf by construction — drop it up
+    # front, or the A* exhausts the reachable graph before giving up
+    comp = csr.get("comp")
+    if comp is not None and remaining:
+        seed_comps = {int(comp[si]) for _, si, _ in live_seeds}
+        remaining = {t for t in remaining if int(comp[t]) in seed_comps}
     tgt_idx = frozenset(remaining)
     harr = _layer_heuristic(csr, tgt_idx)
 
     pq: list[tuple[float, float, int, int, int]] = []
-    for ordn, (s, c) in enumerate(seeds):
-        si = idx.get(int(s))
-        if si is None or not math.isfinite(c):
-            continue
-        h0 = harr[si] if harr is not None else 0.0
+    for ordn, si, c in live_seeds:
+        h0 = float(harr[si]) if harr is not None else 0.0
         pq.append((c + h0, c, int(states[si]), ordn, si))
     heapq.heapify(pq)
 
@@ -985,7 +1033,7 @@ def edge_dijkstra_viterbi_step(
             v = int(dsts[i])
             if v not in dist:
                 d2 = d + float(cost[i])
-                hv = harr[v] if harr is not None else 0.0
+                hv = float(harr[v]) if harr is not None else 0.0
                 heapq.heappush(pq, (d2 + hv, d2, int(states[v]), ordn, v))
     out_d: dict[int, float] = {}
     out_o: dict[int, int] = {}

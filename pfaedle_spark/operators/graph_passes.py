@@ -47,7 +47,12 @@ def delete_orphan_edges(
     repeat `rounds` times (reference fixed 3)."""
     stations = station_node_ids.select(F.col("node_id").alias("st_id"))
     cur = edges
-    for _ in range(rounds):
+    for r in range(rounds):
+        # materialize between rounds: `cur` feeds both the degree agg and
+        # the two anti-joins, so without a cut each round re-embeds the
+        # previous round's DAG ~4x (plan growth is exponential in rounds;
+        # bounded rounds make the per-round materialization cheap)
+        cur = cur.localCheckpoint(eager=True)
         deg = _endpoint_degrees(cur)
         hang = (
             deg.filter(F.col("deg") == 1)
@@ -151,15 +156,25 @@ def collapse_edges(edges: DataFrame, station_node_ids: DataFrame) -> DataFrame:
             .join(stations, deg.node_id == stations.st_id, "left_anti")
             .select(F.col("node_id").alias("mid"))
         )
-        # the two edges at each contraction node
-        inc = cur.join(
-            mid,
-            (F.col("src") == F.col("mid")) | (F.col("dst") == F.col("mid")),
-        ).select(
-            "mid", "edge_id", "src", "dst", "level", "oneway", "length",
-            F.when(F.col("src") == F.col("mid"), F.col("dst"))
-            .otherwise(F.col("src"))
-            .alias("other"),
+        # the two edges at each contraction node: explode endpoints so
+        # the incident lookup is a hash equi-join on the node id (the
+        # OR-form src==mid|dst==mid would be a nested-loop join — O(E*M)
+        # comparisons, a scale-killer on a continental edge set). A
+        # self-loop at mid yields two exploded rows with e1==e2, which
+        # the e1<>e2 merge guard below discards — same outcome as the
+        # OR-join's single row failing the n==2 guard.
+        inc = (
+            cur.select(
+                "edge_id", "src", "dst", "level", "oneway", "length",
+                F.explode(F.array("src", "dst")).alias("end_pt"),
+            )
+            .join(mid, F.col("end_pt") == F.col("mid"))
+            .select(
+                "mid", "edge_id", "src", "dst", "level", "oneway", "length",
+                F.when(F.col("src") == F.col("mid"), F.col("dst"))
+                .otherwise(F.col("src"))
+                .alias("other"),
+            )
         )
         g = inc.groupBy("mid").agg(
             F.count("*").alias("n"),

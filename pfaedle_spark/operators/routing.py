@@ -97,6 +97,26 @@ def build_csr(edges_pdf: pd.DataFrame, level_punish: bool = True) -> dict:
 _CSR_CACHE: dict = {}
 _ROUTE_CACHE: dict = {}
 _ROUTE_CACHE_MAX = 200_000
+
+_EDGES_BC_CACHE: dict = {}
+
+
+def edges_broadcast(spark, edges_directed: DataFrame):
+    """Driver-side memo: ONE toPandas + broadcast per distinct edge plan
+    per session. The graph is static across queries, and a fresh collect
+    per invocation is pure serial driver time — at N->4N parallelism it
+    is the Amdahl term that caps scaling efficiency (the collect costs
+    the same at every cluster size)."""
+    key = (id(spark), edges_directed.semanticHash())
+    if key not in _EDGES_BC_CACHE:
+        if len(_EDGES_BC_CACHE) > 8:
+            _EDGES_BC_CACHE.clear()
+        pdf = edges_directed.select(
+            "src", "dst", "length", "level", "x1", "y1", "x2", "y2"
+        ).toPandas()
+        _EDGES_BC_CACHE[key] = spark.sparkContext.broadcast(pdf)
+    return _EDGES_BC_CACHE[key]
+
 _CSR_TOKEN = 0  # monotonically increasing: route-cache keys carry this
                 # token, NOT id(csr) — a dict freed after eviction can be
                 # re-allocated at the same address, aliasing stale entries.
@@ -245,8 +265,7 @@ def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     accumulated optimal cost at that layer.
     """
     spark = candidates.sparkSession
-    edges_pdf = edges_directed.select("src", "dst", "length", "level", "x1", "y1", "x2", "y2").toPandas()
-    bc = spark.sparkContext.broadcast(edges_pdf)
+    bc = edges_broadcast(spark, edges_directed)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         return _viterbi_one_trip(pdf, csr_for_broadcast(bc))
@@ -257,7 +276,7 @@ def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     # stage onto one task; an explicit repartition is never coalesced,
     # and HashPartitioning(trip_id) satisfies the grouping distribution,
     # so no second shuffle is inserted.
-    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 2
+    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 4
     return (
         candidates.select(*cols)
         .repartition(n_part, "trip_id")
@@ -327,8 +346,7 @@ def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     Cheaper than the global solve (one Dijkstra per layer), same output
     schema as viterbi_align minus acc optimality."""
     spark = candidates.sparkSession
-    edges_pdf = edges_directed.select("src", "dst", "length", "level", "x1", "y1", "x2", "y2").toPandas()
-    bc = spark.sparkContext.broadcast(edges_pdf)
+    bc = edges_broadcast(spark, edges_directed)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         csr = csr_for_broadcast(bc)
@@ -361,7 +379,7 @@ def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
         )
 
     cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
-    n_part = spark.sparkContext.defaultParallelism * 2
+    n_part = spark.sparkContext.defaultParallelism * 4
     return (
         candidates.select(*cols)
         .repartition(n_part, "trip_id")
@@ -472,8 +490,7 @@ def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFra
     from pyspark.sql import Window
 
     spark = candidates.sparkSession
-    edges_pdf = edges_bidir.select("src", "dst", "length", "level", "x1", "y1", "x2", "y2").toPandas()
-    bc = spark.sparkContext.broadcast(edges_pdf)
+    bc = edges_broadcast(spark, edges_bidir)
 
     w = Window.partitionBy("trip_id").orderBy("seq")
     hops = (
@@ -501,7 +518,7 @@ def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFra
         "trip_id string, seq long, image_id string, to_image string, "
         "cand_node long, to_node long, path_cost double"
     )
-    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 2
+    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 4
     out = (
         hops.repartition(n_part, "trip_id")
         .groupBy("trip_id")

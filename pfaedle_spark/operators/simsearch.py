@@ -319,7 +319,9 @@ def _srp_banded(vectors: DataFrame) -> DataFrame:
 
 def emb_neardup(embeddings: DataFrame, thresh: float = NEARDUP_THRESH) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded SRP-LSH."""
-    banded = _srp_banded(_neardup_variants(embeddings))
+    # both sides of the bucket self-join read the signatures — without a
+    # cut each side re-runs the 32x64 hyperplane dot products per vector
+    banded = _srp_banded(_neardup_variants(embeddings)).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,
