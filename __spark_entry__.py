@@ -627,9 +627,16 @@ edges_pruned AS (
 )""",
             src_table="edges_pruned",
         ),
-        # collapse_edges / simplify_geoms: iterative contraction and
-        # Douglas-Peucker are not SQL-expressible — rows-only driver
-        # check; python-reference oracles live in tests/test_graph_passes.py
+        "collapse_edges": graph_passes.collapse_edges_sql(
+            sqlgen.with_ctes("nodes", "edges")
+            + """,
+edges_pruned AS (
+  SELECT * FROM edges WHERE NOT (src % 37 = 0 AND edge_id % 2 = 1)
+)""",
+            src_table="edges_pruned",
+        ),
+        # simplify_geoms: Douglas-Peucker is not SQL-expressible —
+        # rows-only driver check; python-reference oracle in tests
         "shape_refcount": gtfs_ops.shape_refcount_sql(),
         "edge_lines": gtfs_ops.edge_lines_sql(),
         "restrictions": gtfs_ops.restrictions_sql(),

@@ -83,7 +83,7 @@ hang{r} AS (
   LEFT JOIN (SELECT node_id FROM nodes WHERE is_station) s USING (node_id)
   WHERE d.deg = 1 AND s.node_id IS NULL
 ),
-e{r + 1} AS (
+e{r + 1} AS MATERIALIZED (
   SELECT e.* FROM e{r} e
   WHERE e.src NOT IN (SELECT node_id FROM hang{r})
     AND e.dst NOT IN (SELECT node_id FROM hang{r})
@@ -279,3 +279,93 @@ def zigzag_geoms(edges: DataFrame, step: float = 256.0) -> DataFrame:
             t, off, lambda ti, oi: F.col("y1") + ti * dy + oi * dx / ln
         ).alias("ys"),
     )
+
+
+def collapse_edges_sql(
+    edges_cte: str,
+    src_table: str = "edges",
+    orphan_rounds: int = ORPHAN_ROUNDS,
+    rounds: int = COLLAPSE_MAX_ROUNDS,
+) -> str:
+    """Unrolled SQL mirror of delete_orphan_edges + collapse_edges.
+
+    Each collapse round replays the engine's exact algebra: endpoint
+    degrees, non-station degree-2 mids, explode+equi-join incidence
+    (self-loops yield e1==e2 and fail the merge guard, as in the
+    engine), ARG_MIN/ARG_MAX by edge_id for the deterministic edge
+    pair, the race guard (neither neighbor a smaller-id mid), then
+    tombstone + append.  Rounds past the fixpoint are no-ops, so the
+    fixed unroll equals the engine's early-exit loop.  Merged lengths
+    add in the same pairing order every round, so doubles stay
+    bit-identical."""
+    sql = edges_cte + f",\ne0 AS (SELECT * FROM {src_table})"
+    for r in range(orphan_rounds):
+        sql += f""",
+deg{r} AS (
+  SELECT node_id, COUNT(*) AS deg FROM (
+    SELECT src AS node_id FROM e{r} UNION ALL SELECT dst FROM e{r}
+  ) GROUP BY node_id
+),
+hang{r} AS (
+  SELECT d.node_id FROM deg{r} d
+  LEFT JOIN (SELECT node_id FROM nodes WHERE is_station) s USING (node_id)
+  WHERE d.deg = 1 AND s.node_id IS NULL
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.* FROM e{r} e
+  WHERE e.src NOT IN (SELECT node_id FROM hang{r})
+    AND e.dst NOT IN (SELECT node_id FROM hang{r})
+)"""
+    sql += f""",
+c0 AS MATERIALIZED (SELECT edge_id, src, dst, level, oneway, length FROM e{orphan_rounds})"""
+    for r in range(rounds):
+        sql += f""",
+cdeg{r} AS (
+  SELECT node_id, COUNT(*) AS deg FROM (
+    SELECT src AS node_id FROM c{r} UNION ALL SELECT dst FROM c{r}
+  ) GROUP BY node_id
+),
+cmid{r} AS (
+  SELECT d.node_id AS mid FROM cdeg{r} d
+  LEFT JOIN (SELECT node_id FROM nodes WHERE is_station) s USING (node_id)
+  WHERE d.deg = 2 AND s.node_id IS NULL
+),
+cinc{r} AS MATERIALIZED (
+  SELECT m.mid, e.edge_id, e.src, e.dst, e.level, e.oneway, e.length,
+         CASE WHEN e.src = m.mid THEN e.dst ELSE e.src END AS other
+  FROM (SELECT edge_id, src, dst, level, oneway, length, src AS end_pt FROM c{r}
+        UNION ALL
+        SELECT edge_id, src, dst, level, oneway, length, dst AS end_pt FROM c{r}) e
+  JOIN cmid{r} m ON e.end_pt = m.mid
+),
+cg{r} AS MATERIALIZED (
+  SELECT mid, COUNT(*) AS n, MIN(edge_id) AS e1, MAX(edge_id) AS e2,
+         ARG_MIN(other, edge_id) AS a_other, ARG_MAX(other, edge_id) AS b_other,
+         ARG_MIN(level, edge_id) AS a_level, ARG_MAX(level, edge_id) AS b_level,
+         ARG_MIN(oneway, edge_id) AS a_oneway, ARG_MAX(oneway, edge_id) AS b_oneway,
+         ARG_MIN(length, edge_id) AS a_length, ARG_MAX(length, edge_id) AS b_length
+  FROM cinc{r} GROUP BY mid
+),
+csafe{r} AS MATERIALIZED (
+  SELECT m.* FROM (
+    SELECT * FROM cg{r}
+    WHERE n = 2 AND e1 <> e2 AND a_level = b_level AND a_oneway = b_oneway
+      AND a_other <> b_other
+  ) m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT mid FROM cg{r}
+      WHERE n = 2 AND e1 <> e2 AND a_level = b_level AND a_oneway = b_oneway
+        AND a_other <> b_other
+    ) x WHERE (x.mid = m.a_other OR x.mid = m.b_other) AND x.mid < m.mid)
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT e.edge_id, e.src, e.dst, e.level, e.oneway, e.length
+  FROM c{r} e
+  WHERE NOT EXISTS (SELECT 1 FROM csafe{r} s
+                    WHERE s.e1 = e.edge_id OR s.e2 = e.edge_id)
+  UNION ALL
+  SELECT e1, a_other, b_other, a_level, a_oneway, a_length + b_length
+  FROM csafe{r}
+)"""
+    return sql + f"\nSELECT edge_id, src, dst, level, oneway, length FROM c{rounds}\n"

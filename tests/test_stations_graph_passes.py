@@ -170,3 +170,15 @@ def test_fix_gaps_merges_close_degree1_nodes(spark):
     )
     fixed = {(r.src, r.dst) for r in graph_passes.fix_gaps(nodes, edges).collect()}
     assert fixed == {(1, 2), (2, 4)}
+
+
+def test_collapse_edges_matches_oracle(spark):
+    """The unrolled 8-round SQL mirror must agree bit-for-bit (merged
+    lengths add in the same pairing order every round)."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        entrymod.queries()["collapse_edges"](spark, SF_DIR),
+        entrymod.oracle_sql()["collapse_edges"],
+    )
