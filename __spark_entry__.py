@@ -345,6 +345,14 @@ def _q_shape_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_routing.shape_assembly(cand, tbv, dedges)
 
 
+def _q_eq_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 equality-reach probe: bounded blocked relax search from each
+    snapped node for an equivalent (shared uic_ref) station in reach."""
+    return snap.eq_reach(
+        datagen.stations(spark), datagen.station_nodes(spark), datagen.edges(spark)
+    )
+
+
 def _q_snap_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 full fidelity: escalating-radius snap with edge splitting —
     round-structured append+tombstone; oracle is the round-unrolled SQL."""
@@ -489,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_full": _q_viterbi_full,
         "shape_geoms": _q_shape_geoms,
         "snap_splits": _q_snap_splits,
+        "eq_reach": _q_eq_reach,
         "segment_intersections": _q_segment_intersections,
         "trip_extent": _q_trip_extent,
         "trip_hull": _q_trip_hull,
@@ -570,6 +579,7 @@ SELECT image_id, trip_id, seq, edge_id, cand_node, dist,
 FROM cand WHERE rank = 1
 """,
         "snap_stations": snap.snap_oracle_sql(),
+        "eq_reach": snap.eq_reach_sql(),
         "trip_hops": windows.trip_hops_oracle_sql(),
         "cum_dist": windows.cumulative_dist_oracle_sql(),
         "interp_times": windows.interpolate_times_oracle_sql(),

@@ -595,7 +595,8 @@ def shape_assembly(
     # see viterbi_full: materialize before fan-out to reps + trips join
     keyed = keyed.localCheckpoint(eager=False)
     reps = keyed.filter(F.col("trip_id") == F.col("rep_trip")).select(
-        "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank"
+        "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank",
+        "x", "y",
     )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -605,6 +606,11 @@ def shape_assembly(
         geo = bc_edges.value
         fpr = chosen["fingerprint"].iloc[0]
         states = chosen.sort_values("seq")["state_edge"].tolist()
+        # stop coords per layer (constant within a seq group): the
+        # cluster representative's coords stand in for every member,
+        # exactly as the reference copies the rep's shape to the
+        # cluster (shape_builder.cpp:219)
+        stop_xy = pdf.groupby("seq")[["x", "y"]].first().sort_index()
         walk: list[int] = []
         for i in range(len(states) - 1):
             p = edge_dijkstra_path(csr, int(states[i]), int(states[i + 1]))
@@ -613,21 +619,54 @@ def shape_assembly(
             walk.extend(p[:-1])  # target re-enters as next hop's source
         if states:
             walk.append(int(states[-1]))
+
+        def oriented(st: int):
+            e = geo.loc[st % REV_OFF]
+            if st >= REV_OFF:
+                return float(e["x2"]), float(e["y2"]), float(e["x1"]), float(e["y1"]), float(e["length"])
+            return float(e["x1"]), float(e["y1"]), float(e["x2"]), float(e["y2"]), float(e["length"])
+
+        def proj_t(px: float, py: float, st: int) -> float:
+            """Clamped projection parameter of the stop onto the state's
+            oriented segment (Geo.h projectOn:1113-1146)."""
+            sx, sy, ex, ey, _ = oriented(st)
+            len2 = (ex - sx) * (ex - sx) + (ey - sy) * (ey - sy)
+            if len2 <= 0.0:
+                return 0.0
+            t = ((px - sx) * (ex - sx) + (py - sy) * (ey - sy)) / len2
+            return min(1.0, max(0.0, t))
+
+        # R10 endpoint clipping (get_gtfs_shape, shape_builder.cpp:
+        # 404-518): the shape starts at the FIRST stop's projection onto
+        # the first chosen edge and ends at the LAST stop's projection
+        # onto the last chosen edge — not at the raw edge endpoints.
+        if walk:
+            fx, fy = float(stop_xy["x"].iloc[0]), float(stop_xy["y"].iloc[0])
+            lx, ly = float(stop_xy["x"].iloc[-1]), float(stop_xy["y"].iloc[-1])
+            t0 = proj_t(fx, fy, walk[0])
+            tL = proj_t(lx, ly, walk[-1])
+            if len(walk) == 1 and tL < t0:
+                tL = t0  # degenerate single-edge trip: monotone along travel
         rows = []
         cum = 0.0
-        first = True
         for hop_seq, st in enumerate(walk):
-            orig = st % REV_OFF
-            e = geo.loc[orig]
-            if st >= REV_OFF:  # reversed orientation
-                sx, sy, ex, ey = e["x2"], e["y2"], e["x1"], e["y1"]
-            else:
-                sx, sy, ex, ey = e["x1"], e["y1"], e["x2"], e["y2"]
-            if first:
-                rows.append((fpr, 0, float(sx), float(sy), 0.0, -1, int(st)))
-                first = False
-            cum += float(e["length"])
-            rows.append((fpr, len(rows), float(ex), float(ey), cum, hop_seq, int(st)))
+            sx, sy, ex, ey, ln = oriented(st)
+            frac = 1.0
+            if hop_seq == 0:
+                # clip the head: start at the projection point
+                sx = sx + t0 * (ex - sx)
+                sy = sy + t0 * (ey - sy)
+                frac -= t0
+                rows.append((fpr, 0, sx, sy, 0.0, -1, int(st)))
+            if hop_seq == len(walk) - 1:
+                # clip the tail: end at the projection point
+                ex0, ey0 = ex, ey
+                sx0, sy0, _, _, _ = oriented(st)
+                ex = sx0 + tL * (ex0 - sx0)
+                ey = sy0 + tL * (ey0 - sy0)
+                frac -= 1.0 - tL
+            cum += ln * max(frac, 0.0)
+            rows.append((fpr, len(rows), ex, ey, cum, hop_seq, int(st)))
         return pd.DataFrame(
             rows,
             columns=[

@@ -320,12 +320,13 @@ stops{k} AS (
     return "".join(parts)
 
 
-def snap_oracle_sql(radius: float = C.STATION_RADIUS) -> str:
+def _snap_ctes(radius: float, base_tables: tuple = ("stations", "station_nodes")) -> str:
+    """The snap match as CTEs (shared by snap_oracle_sql and eq_reach_sql)."""
     import math
 
     n = math.ceil(2 * radius / C.CELL) + 1
     offs = "(VALUES " + ",".join(f"({i})" for i in range(n + 1)) + ")"
-    return f"""{sqlgen.with_ctes("stations", "station_nodes")},
+    return f"""{sqlgen.with_ctes(*base_tables)},
 stop_cells AS (
   SELECT s.*,
          (CAST(FLOOR((s.x - {radius})/{C.CELL}) AS BIGINT) + ox.o) * {C.CELL_STRIDE}
@@ -349,6 +350,139 @@ matched AS (
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY stop_id ORDER BY dist ASC, node_id ASC) AS r
   FROM (SELECT DISTINCT * FROM matched)
+)"""
+
+
+def snap_oracle_sql(radius: float = C.STATION_RADIUS) -> str:
+    return (
+        _snap_ctes(radius)
+        + "\nSELECT stop_id, node_id, dist, component FROM ranked WHERE r = 1\n"
+    )
+
+
+# --------------------------------------------------------------------
+# J9 — equality-reach probe (bounded best-first dedup search)
+# --------------------------------------------------------------------
+
+EQ_ATTR_MOD = 31       # synthetic shared-ref attr (uic_ref stand-in,
+                       # pfaedle.cfg:344-350): node_id % 31 — chosen so
+                       # same-stripe stations at (row±1, col∓1), node-id
+                       # delta 31, share a value within 2 hops
+EQ_CAP = 2.5 * C.GRID_SPACING   # reference: reach <= 2*d of the snap
+EQ_ROUNDS = 3          # provable: every edge costs GRID_SPACING, so a
+                       # 3-hop path already exceeds EQ_CAP — round 3 is
+                       # the fixpoint
+
+
+def eq_reach(
+    stops: DataFrame,
+    station_nodes: DataFrame,
+    edges: DataFrame,
+    cap: float = EQ_CAP,
+    rounds: int = EQ_ROUNDS,
+) -> DataFrame:
+    """J9 (``osm_builder::depth_search`` osm_builder.cpp:1267-1341,
+    ``eqStatReach`` :1344-1360): from each stop's snapped node, bounded
+    relax search over the undirected graph for an existing *equivalent*
+    station node within the cost cap — equivalence = shared synthetic
+    uic_ref attr. Expansion never continues THROUGH another station
+    node (``block_search_functor`` :101-110), and adjacency is
+    undirected (the reference walks node adjacency regardless of edge
+    direction). Output: (stop_id, seed, eq_node, cost) — the argmin
+    (cost, node) match per stop, only stops with a match.
+
+    Scale shape: bounded rounds of hash equi-joins keyed by node id,
+    localCheckpoint between rounds; frontier size is bounded by the
+    cap/edge-length ratio, never the graph."""
+    seeds = snap_stations(stops, station_nodes).select(
+        "stop_id", F.col("node_id").alias("seed")
+    )
+    und = edges.select("src", "dst", "length").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "length"
+        )
+    ).select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "length")
+    st = station_nodes.select(F.col("node_id").alias("node"))
+
+    best = seeds.select(
+        "stop_id", "seed", F.col("seed").alias("node"), F.lit(0.0).alias("cost")
+    )
+    for _ in range(rounds):
+        best = best.localCheckpoint(eager=True)
+        exp = best.join(st, "node", "left_anti").unionByName(
+            best.filter((F.col("node") == F.col("seed")) & (F.col("cost") == 0.0))
+        )
+        nxt = (
+            exp.join(und, "node")
+            .select(
+                "stop_id", "seed",
+                F.col("nbr").alias("node"),
+                (F.col("cost") + F.col("length")).alias("cost"),
+            )
+            .filter(F.col("cost") <= cap)
+        )
+        best = (
+            best.unionByName(nxt)
+            .groupBy("stop_id", "seed", "node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    hits = (
+        best.filter(F.col("node") != F.col("seed"))
+        .join(st, "node")
+        .filter((F.col("node") % EQ_ATTR_MOD) == (F.col("seed") % EQ_ATTR_MOD))
+    )
+    w = Window.partitionBy("stop_id").orderBy(F.col("cost").asc(), F.col("node").asc())
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("stop_id", "seed", F.col("node").alias("eq_node"), "cost")
+    )
+
+
+def eq_reach_sql(
+    cap: float = EQ_CAP,
+    rounds: int = EQ_ROUNDS,
+    radius: float = C.STATION_RADIUS,
+) -> str:
+    """Unrolled SQL mirror: snap CTEs -> seeds -> `rounds` materialized
+    relax rounds (station nodes never expand, min-cost dedup) -> attr
+    match + argmin."""
+    sql = _snap_ctes(radius, ("stations", "station_nodes", "edges"))
+    sql += f""",
+seeds AS MATERIALIZED (SELECT stop_id, node_id AS seed FROM ranked WHERE r = 1),
+und AS (
+  SELECT src AS node, dst AS nbr, length FROM edges
+  UNION ALL
+  SELECT dst, src, length FROM edges
+),
+stn AS (SELECT node_id AS node FROM station_nodes),
+f0 AS MATERIALIZED (SELECT stop_id, seed, seed AS node, 0.0 AS cost FROM seeds)"""
+    for r in range(rounds):
+        sql += f""",
+exp{r} AS (
+  SELECT b.* FROM f{r} b
+  LEFT JOIN stn s ON b.node = s.node
+  WHERE s.node IS NULL OR (b.node = b.seed AND b.cost = 0.0)
+),
+nx{r} AS (
+  SELECT e.stop_id, e.seed, u.nbr AS node, e.cost + u.length AS cost
+  FROM exp{r} e JOIN und u ON u.node = e.node
+  WHERE e.cost + u.length <= {cap!r}
+),
+f{r + 1} AS MATERIALIZED (
+  SELECT stop_id, seed, node, MIN(cost) AS cost
+  FROM (SELECT * FROM f{r} UNION ALL SELECT * FROM nx{r})
+  GROUP BY stop_id, seed, node
+)"""
+    return sql + f""",
+hits AS (
+  SELECT b.* FROM f{rounds} b
+  JOIN stn s ON b.node = s.node
+  WHERE b.node <> b.seed AND b.node % {EQ_ATTR_MOD} = b.seed % {EQ_ATTR_MOD}
 )
-SELECT stop_id, node_id, dist, component FROM ranked WHERE r = 1
+SELECT stop_id, seed, node AS eq_node, cost
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY stop_id
+                                   ORDER BY cost ASC, node ASC) AS rk
+      FROM hits)
+WHERE rk = 1
 """

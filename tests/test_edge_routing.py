@@ -337,20 +337,65 @@ def test_shape_assembly_geometric_invariants(spark):
     got = ER.shape_assembly(cand, tbv, dedges).toPandas()
     assert len(got) > 0
     geo = dedges.set_index("edge_id")
+    # stop coords per (trip, seq) for the projection-clipped endpoints —
+    # from the CANDIDATES (a stop with no candidate edge contributes no
+    # DP layer, so the engine's first/last layer is the first/last seq
+    # with candidates, not the first/last raw point)
+    stop_xy = (
+        cand.select("trip_id", "seq", "x", "y").distinct().toPandas()
+        .sort_values(["trip_id", "seq"]).groupby("trip_id")
+    )
+
+    def oriented(st):
+        e = geo.loc[st % ER.REV_OFF]
+        if st >= ER.REV_OFF:
+            return e["x2"], e["y2"], e["x1"], e["y1"], e["length"]
+        return e["x1"], e["y1"], e["x2"], e["y2"], e["length"]
+
+    def proj_t(px, py, st):
+        sx, sy, ex, ey, _ = oriented(st)
+        len2 = (ex - sx) ** 2 + (ey - sy) ** 2
+        t = ((px - sx) * (ex - sx) + (py - sy) * (ey - sy)) / len2
+        return min(1.0, max(0.0, t))
+
+    # clustered trips carry their representative's shape (the engine
+    # solves once per fingerprint and copies, shape_builder.cpp:219) —
+    # so the clipped endpoints are the REP trip's stop projections
+    rep_of = (
+        ER.trip_fingerprints(cand)
+        .select("trip_id", "rep_trip").toPandas()
+        .set_index("trip_id")["rep_trip"].to_dict()
+    )
     for trip_id, g in got.groupby("trip_id"):
         g = g.sort_values("pt_seq").reset_index(drop=True)
-        assert (g["cum_dist"].diff().dropna() > 0).all(), trip_id
-        for i in range(1, len(g)):
+        sxy = stop_xy.get_group(rep_of[trip_id])
+        t0 = proj_t(sxy["x"].iloc[0], sxy["y"].iloc[0], int(g["edge_state"].iloc[0]))
+        tL = proj_t(sxy["x"].iloc[-1], sxy["y"].iloc[-1], int(g["edge_state"].iloc[-1]))
+        if len(g) == 2 and int(g["edge_state"].iloc[0]) == int(g["edge_state"].iloc[1]):
+            tL = max(tL, t0)
+        assert (g["cum_dist"].diff().dropna() >= 0).all(), trip_id
+        n = len(g)
+        for i in range(1, n):
             st = int(g["edge_state"].iloc[i])
-            e = geo.loc[st % ER.REV_OFF]
-            if st >= ER.REV_OFF:
-                sx, sy, ex, ey = e["x2"], e["y2"], e["x1"], e["y1"]
-            else:
-                sx, sy, ex, ey = e["x1"], e["y1"], e["x2"], e["y2"]
-            assert (g["x"].iloc[i], g["y"].iloc[i]) == (ex, ey), (trip_id, i)
-            assert (g["x"].iloc[i - 1], g["y"].iloc[i - 1]) == (sx, sy), (trip_id, i)
+            sx, sy, ex, ey, ln = oriented(st)
+            frac = 1.0
+            if i == 1:
+                # head clipped at the first stop's projection
+                sx = sx + t0 * (ex - sx)
+                sy = sy + t0 * (ey - sy)
+                frac -= t0
+            if i == n - 1:
+                # tail clipped at the last stop's projection
+                sx0, sy0, ex0, ey0, _ = oriented(st)
+                ex = sx0 + tL * (ex0 - sx0)
+                ey = sy0 + tL * (ey0 - sy0)
+                frac -= 1.0 - tL
+            assert g["x"].iloc[i] == pytest.approx(ex, abs=1e-9), (trip_id, i)
+            assert g["y"].iloc[i] == pytest.approx(ey, abs=1e-9), (trip_id, i)
+            assert g["x"].iloc[i - 1] == pytest.approx(sx, abs=1e-9), (trip_id, i)
+            assert g["y"].iloc[i - 1] == pytest.approx(sy, abs=1e-9), (trip_id, i)
             assert g["cum_dist"].iloc[i] - g["cum_dist"].iloc[i - 1] == pytest.approx(
-                e["length"], rel=1e-12
+                ln * max(frac, 0.0), rel=1e-9, abs=1e-9
             )
     # the viterbi choice and the walk agree: each trip's first walked
     # state is its first chosen candidate state

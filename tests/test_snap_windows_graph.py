@@ -162,3 +162,29 @@ def test_snap_splits_endpoint_promotion_with_large_eps(spark):
     w = want.sort_values("stop_id", ignore_index=True)
     assert (g["node_id"].to_numpy() == w["node_id"].to_numpy()).all()
     assert (g["kind"].to_numpy() == w["kind"].to_numpy()).all()
+
+
+def test_eq_reach_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+    from conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        entrymod.queries()["eq_reach"](spark, None),
+        entrymod.oracle_sql()["eq_reach"],
+    )
+
+
+def test_eq_reach_semantics(spark):
+    """Every hit shares the uic attr with its seed, costs <= cap, and the
+    probe never tunnels through another station node (2-hop minimum via
+    a non-station intermediate on this grid)."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import snap as snap_mod
+
+    rows = snap_mod.eq_reach(
+        datagen.stations(spark), datagen.station_nodes(spark), datagen.edges(spark)
+    ).collect()
+    assert rows, "probe found no equivalent stations"
+    for r in rows:
+        assert r.eq_node % snap_mod.EQ_ATTR_MOD == r.seed % snap_mod.EQ_ATTR_MOD
+        assert 0.0 < r.cost <= snap_mod.EQ_CAP
