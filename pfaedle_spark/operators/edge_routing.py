@@ -1017,6 +1017,7 @@ def edge_dijkstra_viterbi_step(
     csr: dict,
     seeds: list[tuple[int, float]],
     targets: list[int],
+    band: bool = True,
 ) -> tuple[dict[int, float], dict[int, int]]:
     """ONE multi-source A* for a whole Viterbi layer transition.
 
@@ -1057,17 +1058,44 @@ def edge_dijkstra_viterbi_step(
         pq.append((c + h0, c, int(states[si]), ordn, si))
     heapq.heapify(pq)
 
+    # R5 hop band (router::getHopBand, router.cpp:229-306): once the
+    # pilot (the first settled target, reusing THIS search instead of a
+    # separate pilot Dijkstra) fixes the min hop cost c0, cap the search
+    # at max(c0, pend*levelPunish[2])*3 + turn + station pens, where
+    # pend is the max straight-line seed->target distance. Targets
+    # beyond the band report inf — the reference prunes them the same
+    # way to bound the N x M hop matrix.
+    band_cap: float | None = None
+    pend = 0.0
+    base_dp = 0.0
+    if band and live_seeds and remaining:
+        xy = csr.get("xy")
+        base_dp = min(c for _, _, c in live_seeds)
+        if xy is not None:
+            sxy = xy[[si for _, si, _ in live_seeds]]
+            txy = xy[np.fromiter(remaining, dtype=np.int64)]
+            dx = sxy[:, 0:1] - txy[None, :, 0].reshape(1, -1)
+            dy = sxy[:, 1:2] - txy[None, :, 1].reshape(1, -1)
+            pend = float(np.nan_to_num(np.sqrt(dx * dx + dy * dy), nan=0.0).max())
+
     dist: dict[int, float] = {}
     origin: dict[int, int] = {}
+    tgt_set = tgt_idx
     while pq and remaining:
         _, d, _, ordn, u = heapq.heappop(pq)
         if u in dist:
             continue
+        if band_cap is not None and d > band_cap:
+            break  # remaining targets are beyond the hop band => inf
         dist[u] = d
         origin[u] = ordn
         remaining.discard(u)
         if not remaining:
             break
+        if band and band_cap is None and u in tgt_set:
+            c0 = d - base_dp
+            band_cap = base_dp + max(c0, pend * OPTS["level_punish"][2]) * 3.0 + \
+                OPTS["full_turn_punish"] + OPTS["pass_thru_station_punish"]
         for i in range(indptr[u], indptr[u + 1]):
             v = int(dsts[i])
             if v not in dist:

@@ -429,3 +429,49 @@ def test_turn_transitions_plan_stays_jvm_side(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_hop_band_semantics(spark):
+    """R5 (getHopBand, router.cpp:229-306): the band caps the search at
+    max(pilot cost, pend*lvlPunish[2])*3 + turn/station pens. On the
+    sub-grid every target's route cost sits inside that envelope, so
+    the band must not change any result; on a toy chain whose route
+    cost far exceeds both the pilot and the straight-line envelope, the
+    beyond-band target reports inf (absent) while band=False reaches
+    it."""
+    eds = ER._sub_edges(spark)
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, eds))
+    nodes = datagen.nodes(spark)
+    tpdf = ER.turn_transitions(
+        eds, restr, nodes, rattrs=ER.rattrs_for_variant(0)
+    ).toPandas()
+    csr = ER.build_edge_csr(tpdf)
+    states = sorted(csr["idx"].keys())
+    seed = states[0]
+    targets = states[1:40:7]
+    banded, ob = ER.edge_dijkstra_viterbi_step(csr, [(seed, 0.0)], targets)
+    unbanded, ou = ER.edge_dijkstra_viterbi_step(
+        csr, [(seed, 0.0)], targets, band=False
+    )
+    assert banded == unbanded and ob == ou  # band is invisible in-envelope
+
+    # toy: A->B->C->D->E->F chain, each transition 10000, all states
+    # within 200 m straight-line => band = max(10000, ~300)*3 + 3100;
+    # F costs 50000 > band => pruned; B (the pilot) survives.
+    toy = pd.DataFrame(
+        {
+            "from_edge": [0, 1, 2, 3, 4],
+            "to_edge": [1, 2, 3, 4, 5],
+            "cost": [10000.0] * 5,
+            "fx": [0.0, 40.0, 80.0, 120.0, 160.0],
+            "fy": [0.0] * 5,
+            "tx": [40.0, 80.0, 120.0, 160.0, 200.0],
+            "ty": [0.0] * 5,
+        }
+    )
+    tcsr = ER.build_edge_csr(toy)
+    b, _ = ER.edge_dijkstra_viterbi_step(tcsr, [(0, 0.0)], [1, 5])
+    u, _ = ER.edge_dijkstra_viterbi_step(tcsr, [(0, 0.0)], [1, 5], band=False)
+    assert b[1] == u[1] == 10000.0
+    assert u[5] == 50000.0
+    assert 5 not in b  # beyond the band => inf, as the reference prunes
