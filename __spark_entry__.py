@@ -257,6 +257,31 @@ def _q_collapse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_passes.collapse_edges(pruned, st)
 
 
+def _q_collapse_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 full fidelity: degree-2 contraction CONCATENATING the edge
+    polylines per the 4 orientation cases (graph.cpp:290-334), flattened
+    to scalar points for the oracle."""
+    eds = datagen.edges(spark).filter(
+        ~((F.col("src") % 37 == 0) & (F.col("edge_id") % 2 == 1))
+    )
+    st = datagen.nodes(spark).filter("is_station").select("node_id")
+    pruned = graph_passes.delete_orphan_edges(eds, st).localCheckpoint(eager=True)
+    geoms = graph_passes.zigzag_geoms(pruned)
+    merged = graph_passes.collapse_edges(pruned, st, geoms=geoms)
+    return (
+        merged.select(
+            "edge_id", "src", "dst", "level", "oneway", "length",
+            F.posexplode(F.arrays_zip("xs", "ys")).alias("pt_seq", "pt"),
+        )
+        .select(
+            "edge_id", "src", "dst", "level", "oneway", "length",
+            F.col("pt_seq").cast("long").alias("pt_seq"),
+            F.col("pt.xs").alias("x"),
+            F.col("pt.ys").alias("y"),
+        )
+    )
+
+
 def _q_simplify_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     geoms = graph_passes.zigzag_geoms(datagen.edges(spark))
     return graph_passes.simplify_geometries(geoms).select("edge_id", "n_in", "n_out")
@@ -486,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_assign": _q_pip_assign,
         "orphan_edges": _q_orphan_edges,
         "collapse_edges": _q_collapse_edges,
+        "collapse_geoms": _q_collapse_geoms,
         "simplify_geoms": _q_simplify_geoms,
         "shape_refcount": _q_shape_refcount,
         "edge_lines": _q_edge_lines,
@@ -644,6 +670,15 @@ edges_pruned AS (
   SELECT * FROM edges WHERE NOT (src % 37 = 0 AND edge_id % 2 = 1)
 )""",
             src_table="edges_pruned",
+        ),
+        "collapse_geoms": graph_passes.collapse_edges_sql(
+            sqlgen.with_ctes("nodes", "edges")
+            + """,
+edges_pruned AS (
+  SELECT * FROM edges WHERE NOT (src % 37 = 0 AND edge_id % 2 = 1)
+)""",
+            src_table="edges_pruned",
+            with_geoms=True,
         ),
         # simplify_geoms: Douglas-Peucker is not SQL-expressible —
         # rows-only driver check; python-reference oracle in tests

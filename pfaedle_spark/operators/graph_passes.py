@@ -140,15 +140,29 @@ def fix_gaps(nodes: DataFrame, edges: DataFrame, max_dist: float = GAP_DIST) -> 
     return e
 
 
-def collapse_edges(edges: DataFrame, station_node_ids: DataFrame) -> DataFrame:
+def collapse_edges(
+    edges: DataFrame,
+    station_node_ids: DataFrame,
+    geoms: DataFrame | None = None,
+) -> DataFrame:
     """G5: contract chains through degree-2 non-station nodes whose two
     incident edges agree on (level, oneway). Each round merges one layer
     of chain nodes; loops until fixpoint or COLLAPSE_MAX_ROUNDS.
 
     Merged edge: new endpoints are the two outer nodes, length sums,
-    edge_id = min of the pair (deterministic)."""
+    edge_id = min of the pair (deterministic).
+
+    With ``geoms`` (edge_id, xs, ys polylines oriented src->dst), merged
+    edges also CONCATENATE their polylines per the reference's 4
+    orientation cases (graph.cpp:290-334): each side is reversed iff it
+    does not already run toward/away from the contraction node, and the
+    shared via point is dropped from the second side."""
     stations = station_node_ids.select(F.col("node_id").alias("st_id"))
     cur = edges.select("edge_id", "src", "dst", "level", "oneway", "length")
+    geo_cols = []
+    if geoms is not None:
+        cur = cur.join(geoms, "edge_id")
+        geo_cols = ["xs", "ys"]
     for _ in range(COLLAPSE_MAX_ROUNDS):
         deg = _endpoint_degrees(cur)
         mid = (
@@ -165,23 +179,24 @@ def collapse_edges(edges: DataFrame, station_node_ids: DataFrame) -> DataFrame:
         # OR-join's single row failing the n==2 guard.
         inc = (
             cur.select(
-                "edge_id", "src", "dst", "level", "oneway", "length",
+                "edge_id", "src", "dst", "level", "oneway", "length", *geo_cols,
                 F.explode(F.array("src", "dst")).alias("end_pt"),
             )
             .join(mid, F.col("end_pt") == F.col("mid"))
             .select(
-                "mid", "edge_id", "src", "dst", "level", "oneway", "length",
+                "mid", "edge_id", "src", "dst", "level", "oneway", "length", *geo_cols,
                 F.when(F.col("src") == F.col("mid"), F.col("dst"))
                 .otherwise(F.col("src"))
                 .alias("other"),
             )
         )
+        pair_fields = ["other", "level", "oneway", "length", "src", *geo_cols]
         g = inc.groupBy("mid").agg(
             F.count("*").alias("n"),
             F.min("edge_id").alias("e1"),
             F.max("edge_id").alias("e2"),
-            F.min_by(F.struct("other", "level", "oneway", "length"), "edge_id").alias("a"),
-            F.max_by(F.struct("other", "level", "oneway", "length"), "edge_id").alias("b"),
+            F.min_by(F.struct(*pair_fields), "edge_id").alias("a"),
+            F.max_by(F.struct(*pair_fields), "edge_id").alias("b"),
         )
         merg = g.filter(
             (F.col("n") == 2)
@@ -209,14 +224,29 @@ def collapse_edges(edges: DataFrame, station_node_ids: DataFrame) -> DataFrame:
         # lets the fixpoint probe short-circuit without re-deriving
         if safe.isEmpty():
             break
-        merged_edges = safe.select(
+        merged_cols = [
             F.col("e1").alias("edge_id"),
             F.col("a.other").alias("src"),
             F.col("b.other").alias("dst"),
             F.col("a.level").alias("level"),
             F.col("a.oneway").alias("oneway"),
             (F.col("a.length") + F.col("b.length")).alias("length"),
-        )
+        ]
+        if geoms is not None:
+            # orientation cases: side a must END at mid (reverse if its
+            # stored orientation starts there); side b must START at mid
+            def _or_a(col):
+                return F.when(F.col("a.src") != F.col("mid"), F.col(f"a.{col}"))                     .otherwise(F.reverse(F.col(f"a.{col}")))
+
+            def _or_b(col):
+                b = F.when(F.col("b.src") == F.col("mid"), F.col(f"b.{col}"))                     .otherwise(F.reverse(F.col(f"b.{col}")))
+                return F.slice(b, 2, F.size(b))  # drop the shared via point
+
+            merged_cols += [
+                F.concat(_or_a("xs"), _or_b("xs")).alias("xs"),
+                F.concat(_or_a("ys"), _or_b("ys")).alias("ys"),
+            ]
+        merged_edges = safe.select(*merged_cols)
         dead = safe.select(F.explode(F.array("e1", "e2")).alias("edge_id"))
         cur = (
             cur.join(dead, "edge_id", "left_anti")
@@ -286,6 +316,8 @@ def collapse_edges_sql(
     src_table: str = "edges",
     orphan_rounds: int = ORPHAN_ROUNDS,
     rounds: int = COLLAPSE_MAX_ROUNDS,
+    with_geoms: bool = False,
+    step: float = 256.0,
 ) -> str:
     """Unrolled SQL mirror of delete_orphan_edges + collapse_edges.
 
@@ -316,8 +348,46 @@ e{r + 1} AS MATERIALIZED (
   WHERE e.src NOT IN (SELECT node_id FROM hang{r})
     AND e.dst NOT IN (SELECT node_id FROM hang{r})
 )"""
-    sql += f""",
+    gsel = ", xs, ys" if with_geoms else ""
+    if with_geoms:
+        # zigzag polyline twin (zigzag_geoms): n_seg points every `step`
+        # meters with the deterministic sub-eps perpendicular offset
+        zz = f"""
+zz AS (
+  SELECT edge_id,
+         LIST_TRANSFORM(RANGE(0, GREATEST(CAST(FLOOR(length/{step}) AS INT), 1) + 1),
+           i -> x1 + (CAST(i AS DOUBLE)/GREATEST(CAST(FLOOR(length/{step}) AS INT), 1)) * (x2-x1)
+                - (CAST((edge_id + i) %% 5 - 2 AS DOUBLE) * 0.3) * (y2-y1)
+                  / SQRT((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))) AS xs,
+         LIST_TRANSFORM(RANGE(0, GREATEST(CAST(FLOOR(length/{step}) AS INT), 1) + 1),
+           i -> y1 + (CAST(i AS DOUBLE)/GREATEST(CAST(FLOOR(length/{step}) AS INT), 1)) * (y2-y1)
+                + (CAST((edge_id + i) %% 5 - 2 AS DOUBLE) * 0.3) * (x2-x1)
+                  / SQRT((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))) AS ys
+  FROM e{orphan_rounds}
+)""".replace("%%", "%")
+        sql += "," + zz + f""",
+c0 AS MATERIALIZED (
+  SELECT e.edge_id, e.src, e.dst, e.level, e.oneway, e.length, z.xs, z.ys
+  FROM e{orphan_rounds} e JOIN zz z USING (edge_id))"""
+    else:
+        sql += f""",
 c0 AS MATERIALIZED (SELECT edge_id, src, dst, level, oneway, length FROM e{orphan_rounds})"""
+    gagg = ""
+    gmerge = ""
+    if with_geoms:
+        gagg = (
+            ",\n         ARG_MIN(src, edge_id) AS a_src, ARG_MAX(src, edge_id) AS b_src"
+            ",\n         ARG_MIN(xs, edge_id) AS a_xs, ARG_MAX(xs, edge_id) AS b_xs"
+            ",\n         ARG_MIN(ys, edge_id) AS a_ys, ARG_MAX(ys, edge_id) AS b_ys"
+        )
+        # orientation cases (graph.cpp:290-334): side a must END at mid,
+        # side b must START at mid; drop b's shared via point
+        _a = lambda c: f"CASE WHEN a_src <> mid THEN a_{c} ELSE LIST_REVERSE(a_{c}) END"
+        _b = lambda c: (
+            f"LIST_SLICE(CASE WHEN b_src = mid THEN b_{c} ELSE LIST_REVERSE(b_{c}) END,"
+            f" 2, 1000000)"
+        )
+        gmerge = f",\n         {_a('xs')} || {_b('xs')}, {_a('ys')} || {_b('ys')}"
     for r in range(rounds):
         sql += f""",
 cdeg{r} AS (
@@ -331,11 +401,11 @@ cmid{r} AS (
   WHERE d.deg = 2 AND s.node_id IS NULL
 ),
 cinc{r} AS MATERIALIZED (
-  SELECT m.mid, e.edge_id, e.src, e.dst, e.level, e.oneway, e.length,
+  SELECT m.mid, e.edge_id, e.src, e.dst, e.level, e.oneway, e.length{gsel},
          CASE WHEN e.src = m.mid THEN e.dst ELSE e.src END AS other
-  FROM (SELECT edge_id, src, dst, level, oneway, length, src AS end_pt FROM c{r}
+  FROM (SELECT edge_id, src, dst, level, oneway, length{gsel}, src AS end_pt FROM c{r}
         UNION ALL
-        SELECT edge_id, src, dst, level, oneway, length, dst AS end_pt FROM c{r}) e
+        SELECT edge_id, src, dst, level, oneway, length{gsel}, dst AS end_pt FROM c{r}) e
   JOIN cmid{r} m ON e.end_pt = m.mid
 ),
 cg{r} AS MATERIALIZED (
@@ -343,7 +413,7 @@ cg{r} AS MATERIALIZED (
          ARG_MIN(other, edge_id) AS a_other, ARG_MAX(other, edge_id) AS b_other,
          ARG_MIN(level, edge_id) AS a_level, ARG_MAX(level, edge_id) AS b_level,
          ARG_MIN(oneway, edge_id) AS a_oneway, ARG_MAX(oneway, edge_id) AS b_oneway,
-         ARG_MIN(length, edge_id) AS a_length, ARG_MAX(length, edge_id) AS b_length
+         ARG_MIN(length, edge_id) AS a_length, ARG_MAX(length, edge_id) AS b_length{gagg}
   FROM cinc{r} GROUP BY mid
 ),
 csafe{r} AS MATERIALIZED (
@@ -360,12 +430,18 @@ csafe{r} AS MATERIALIZED (
     ) x WHERE (x.mid = m.a_other OR x.mid = m.b_other) AND x.mid < m.mid)
 ),
 c{r + 1} AS MATERIALIZED (
-  SELECT e.edge_id, e.src, e.dst, e.level, e.oneway, e.length
+  SELECT e.edge_id, e.src, e.dst, e.level, e.oneway, e.length{gsel}
   FROM c{r} e
   WHERE NOT EXISTS (SELECT 1 FROM csafe{r} s
                     WHERE s.e1 = e.edge_id OR s.e2 = e.edge_id)
   UNION ALL
-  SELECT e1, a_other, b_other, a_level, a_oneway, a_length + b_length
+  SELECT e1, a_other, b_other, a_level, a_oneway, a_length + b_length{gmerge}
   FROM csafe{r}
 )"""
+    if with_geoms:
+        return sql + f"""
+SELECT edge_id, src, dst, level, oneway, length,
+       UNNEST(RANGE(LEN(xs))) AS pt_seq, UNNEST(xs) AS x, UNNEST(ys) AS y
+FROM c{rounds}
+"""
     return sql + f"\nSELECT edge_id, src, dst, level, oneway, length FROM c{rounds}\n"

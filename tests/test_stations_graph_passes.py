@@ -182,3 +182,16 @@ def test_collapse_edges_matches_oracle(spark):
         entrymod.queries()["collapse_edges"](spark, SF_DIR),
         entrymod.oracle_sql()["collapse_edges"],
     )
+
+
+def test_collapse_geoms_matches_oracle(spark):
+    """G5 full fidelity: the merged polylines (4 orientation cases,
+    graph.cpp:290-334) must match the unrolled SQL mirror point for
+    point."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        entrymod.queries()["collapse_geoms"](spark, SF_DIR),
+        entrymod.oracle_sql()["collapse_geoms"],
+    )
