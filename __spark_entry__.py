@@ -189,6 +189,12 @@ def _q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_assign_counts(datagen.embeddings(spark, sf_dir))
 
 
+def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: phash hamming <= 4 via pigeonhole byte-chunk
+    banding (the image-payload twin of simhash_pairs)."""
+    return dedup.phash_neardup(datagen.points(spark, sf_dir))
+
+
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (SRP-LSH banded, exact
     cosine verify on bucket-mates only) — the dense-vector analogue of
@@ -504,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_buckets": _q_ivf_buckets,
         "emb_neardup": _q_emb_neardup,
+        "phash_neardup": _q_phash_neardup,
         "maxspeed_parse": _q_maxspeed,
         "name_similarity": _q_name_simi,
         "station_groups": _q_station_groups,
@@ -636,6 +643,7 @@ FROM nodes
         "ivf_topk": simsearch.ivf_topk_sql(),
         "ivf_buckets": simsearch.ivf_assign_counts_sql(),
         "emb_neardup": simsearch.emb_neardup_sql(),
+        "phash_neardup": dedup.phash_neardup_sql(),
         "maxspeed_parse": sqlgen.with_ctes("edges")
         + f"""
 SELECT edge_id, {strings.maxspeed_raw_sql('edge_id')} AS raw,

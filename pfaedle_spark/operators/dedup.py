@@ -432,3 +432,106 @@ FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.ckey = b.ckey
 WHERE a.doc_id < b.doc_id
   AND BIT_COUNT(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
+
+
+# --------------------------------------------------------------------
+# perceptual-hash (image) near-duplicate pairs
+# --------------------------------------------------------------------
+#
+# The image-payload twin of SimHash banding: two images are near-dups
+# when hamming(phash_a, phash_b) <= PHASH_HAM_T. Pigeonhole over the 8
+# byte chunks of the 64-bit phash: <= 7 differing bits guarantee at
+# least one IDENTICAL byte chunk, so the (chunk index, chunk value)
+# equi-join finds every qualifying pair without an all-pairs scan —
+# the same 100 TB shape as simhash_pairs. XOR + bit_count are exact
+# integer ops in both engines.
+#
+# The synthetic phashes are multiplicative-hash-spread (min pairwise
+# hamming >> threshold), so near-dups are planted deterministically:
+# every PHASH_VSTRIDE-th image gets a copy with 3 low-position bits
+# flipped (hamming <= 3).
+
+PHASH_HAM_T = 4
+PHASH_CHUNKS = 8
+PHASH_VSTRIDE = 6
+PHASH_VOFF = 3_000_000
+
+
+def _phash_variant_bits(doc_col: Column) -> Column:
+    """XOR mask with 3 deterministic bit positions in [0, 48) — below
+    the sign bit, so the variant stays a positive BIGINT. (F.expr: the
+    SQL shiftleft accepts a column bit count, the Python wrapper does
+    not.)"""
+    return F.expr(
+        "shiftleft(1L, cast((doc_id * 7) % 48 AS int)) | "
+        "shiftleft(1L, cast((doc_id * 13 + 5) % 48 AS int)) | "
+        "shiftleft(1L, cast((doc_id * 29 + 11) % 48 AS int))"
+    )
+
+
+def phash_corpus(points: DataFrame) -> DataFrame:
+    """(img_id, phash) — originals plus planted near-copies."""
+    base = points.select(F.col("doc_id").alias("img_id"), "phash")
+    var = points.filter(F.col("doc_id") % PHASH_VSTRIDE == 0).select(
+        (F.col("doc_id") + PHASH_VOFF).alias("img_id"),
+        F.col("phash").bitwiseXOR(_phash_variant_bits(F.col("doc_id"))).alias("phash"),
+    )
+    return base.unionByName(var)
+
+
+def phash_neardup(points: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
+    """Near-duplicate image pairs by phash hamming distance via the
+    pigeonhole byte-chunk band join. Output: (a_id, b_id, hamming)."""
+    corpus = phash_corpus(points)
+    chunks = corpus.select(
+        "img_id", "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        (F.shiftright(F.col("phash"), 8 * c) % 256).alias("key"),
+                    )
+                    for c in range(PHASH_CHUNKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("img_id", "phash", "b.chunk", "b.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.img_id") < F.col("b.img_id")),
+    ).select(
+        F.col("a.img_id").alias("a_id"),
+        F.col("b.img_id").alias("b_id"),
+        F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).cast("long").alias("hamming"),
+    )
+    return cand.filter(F.col("hamming") <= ham_t).distinct()
+
+
+def phash_neardup_sql(ham_t: int = PHASH_HAM_T) -> str:
+    from .. import sqlgen
+
+    chunk_rows = ", ".join(f"({c})" for c in range(PHASH_CHUNKS))
+    return f"""{sqlgen.with_ctes("points")},
+corpus AS (
+  SELECT doc_id AS img_id, phash FROM points
+  UNION ALL
+  SELECT doc_id + {PHASH_VOFF},
+         xor(phash, (1::BIGINT << CAST((doc_id * 7) % 48 AS INT))
+                  | (1::BIGINT << CAST((doc_id * 13 + 5) % 48 AS INT))
+                  | (1::BIGINT << CAST((doc_id * 29 + 11) % 48 AS INT)))
+  FROM points WHERE doc_id % {PHASH_VSTRIDE} = 0
+),
+chunks AS (
+  SELECT img_id, phash, c.chunk, (phash >> (8 * c.chunk)) % 256 AS key
+  FROM corpus, (VALUES {chunk_rows}) c(chunk)
+)
+SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.key = b.key AND a.img_id < b.img_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {ham_t}
+"""

@@ -166,3 +166,24 @@ def test_emb_neardup_finds_every_planted_pair(spark):
     got = {(r.a_id, r.b_id) for r in rows}
     assert got == planted
     assert all(r.cosine >= simsearch.NEARDUP_THRESH for r in rows)
+
+
+def test_phash_neardup_oracle(spark):
+    from pfaedle_spark import datagen as dg
+
+    assert_matches_oracle(
+        dedup.phash_neardup(dg.points(spark, SF_DIR)), dedup.phash_neardup_sql()
+    )
+
+
+def test_phash_neardup_finds_planted_copies(spark):
+    """Every planted 3-bit-flipped copy pairs with its base (hamming <= 3);
+    no cross-base pair qualifies (phashes are multiplicative-hash spread)."""
+    from pfaedle_spark import datagen as dg
+
+    rows = dedup.phash_neardup(dg.points(spark, SF_DIR)).collect()
+    n = dg.points(spark, SF_DIR).count()
+    planted = {(d, d + dedup.PHASH_VOFF) for d in range(0, n, dedup.PHASH_VSTRIDE)}
+    got = {(r.a_id, r.b_id) for r in rows}
+    assert got == planted
+    assert all(0 < r.hamming <= dedup.PHASH_HAM_T for r in rows)
