@@ -341,6 +341,12 @@ def _q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geomops.segment_intersections(datagen.stations(spark), datagen.edges(spark))
 
 
+def _q_box_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """commonArea (Geo.h:55-106): pairwise padded trip-extent overlap
+    through the cell equi-join."""
+    return geomops.box_overlaps(datagen.points(spark, sf_dir))
+
+
 def _q_trip_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """convexHull/area (Geo.h:55-106,1219-1455): relational hull-edge
     predicate + orderless shoelace, exact in both engines."""
@@ -534,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersections": _q_segment_intersections,
         "trip_extent": _q_trip_extent,
         "trip_hull": _q_trip_hull,
+        "box_overlaps": _q_box_overlaps,
         "alt_name_simi": _q_alt_name_simi,
         "self_edges": _q_self_edges,
         "netgraph_usage": _q_netgraph_usage,
@@ -702,6 +709,7 @@ edges_pruned AS (
         "segment_intersections": geomops.segment_intersections_sql(),
         "trip_extent": geomops.trip_extent_sql(),
         "trip_hull": geomops.trip_hull_sql(),
+        "box_overlaps": geomops.box_overlaps_sql(),
         "alt_name_simi": geomops.alt_name_simi_sql(),
         "self_edges": geomops.self_edges_sql(SELF_EDGE_FILTER),
         # viterbi_full / shape_geoms: per-cluster layered DP + path walk

@@ -381,3 +381,86 @@ SELECT trip_id, COUNT(*) AS n_hull,
        MAX(SQRT((xj-xi)*(xj-xi) + (yj-yi)*(yj-yi))) AS longest_edge
 FROM he GROUP BY trip_id
 """
+
+
+# --------------------------------------------------------------------
+# commonArea (Geo.h:55-106 box algebra): pairwise trip-extent overlap
+# --------------------------------------------------------------------
+
+def box_overlaps(points: DataFrame) -> DataFrame:
+    """Pairwise overlap area of the padded trip extents (``commonArea``
+    over ``getBoundingBox``+``pad`` results).
+
+    Scale shape: boxes explode to grid cells and pair through the cell
+    equi-join (Grid::add / Grid::get semantics) — at continental scale
+    only boxes sharing a cell are ever compared, never all-pairs. Each
+    surviving pair computes the closed-form overlap, exact in both
+    engines (min/max/multiply of integral-derived doubles).
+
+    Output: (a_trip, b_trip, overlap_area)."""
+    ext = trip_extent(points).select(
+        "trip_id", "xmin_pad", "ymin_pad", "xmax_pad", "ymax_pad"
+    )
+    bc = cells.bbox_cells(
+        ext,
+        F.col("xmin_pad"), F.col("ymin_pad"),
+        F.col("xmax_pad"), F.col("ymax_pad"),
+    ).select(
+        "cell_id", "trip_id", "xmin_pad", "ymin_pad", "xmax_pad", "ymax_pad"
+    )
+    a, b = bc.alias("a"), bc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.trip_id") < F.col("b.trip_id")),
+        )
+        .select(
+            F.col("a.trip_id").alias("a_trip"),
+            F.col("b.trip_id").alias("b_trip"),
+            (
+                F.greatest(
+                    F.least(F.col("a.xmax_pad"), F.col("b.xmax_pad"))
+                    - F.greatest(F.col("a.xmin_pad"), F.col("b.xmin_pad")),
+                    F.lit(0.0),
+                )
+                * F.greatest(
+                    F.least(F.col("a.ymax_pad"), F.col("b.ymax_pad"))
+                    - F.greatest(F.col("a.ymin_pad"), F.col("b.ymin_pad")),
+                    F.lit(0.0),
+                )
+            ).alias("overlap_area"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("overlap_area") > 0)
+
+
+def box_overlaps_sql() -> str:
+    from .. import constants as C
+
+    ext = f"""
+ext AS (
+  SELECT trip_id,
+         MIN(x) - {EXTENT_PAD} AS xmin_pad, MIN(y) - {EXTENT_PAD} AS ymin_pad,
+         MAX(x) + {EXTENT_PAD} AS xmax_pad, MAX(y) + {EXTENT_PAD} AS ymax_pad
+  FROM points GROUP BY trip_id
+),
+bcells AS (
+  SELECT e.*, (ix.i) * {C.CELL_STRIDE} + iy.i AS cell_id
+  FROM ext e,
+       LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(e.xmin_pad/{C.CELL}) AS BIGINT),
+                                    CAST(FLOOR(e.xmax_pad/{C.CELL}) AS BIGINT) + 1)) AS i) ix,
+       LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(e.ymin_pad/{C.CELL}) AS BIGINT),
+                                    CAST(FLOOR(e.ymax_pad/{C.CELL}) AS BIGINT) + 1)) AS i) iy
+)"""
+    return f"""{sqlgen.with_ctes("points")},{ext}
+SELECT DISTINCT a.trip_id AS a_trip, b.trip_id AS b_trip,
+       GREATEST(LEAST(a.xmax_pad, b.xmax_pad) - GREATEST(a.xmin_pad, b.xmin_pad), 0.0)
+     * GREATEST(LEAST(a.ymax_pad, b.ymax_pad) - GREATEST(a.ymin_pad, b.ymin_pad), 0.0)
+       AS overlap_area
+FROM bcells a JOIN bcells b
+  ON a.cell_id = b.cell_id AND a.trip_id < b.trip_id
+WHERE GREATEST(LEAST(a.xmax_pad, b.xmax_pad) - GREATEST(a.xmin_pad, b.xmin_pad), 0.0)
+    * GREATEST(LEAST(a.ymax_pad, b.ymax_pad) - GREATEST(a.ymin_pad, b.ymin_pad), 0.0) > 0
+"""

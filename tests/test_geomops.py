@@ -126,3 +126,12 @@ def test_trip_hull_matches_numpy_hull(spark):
         hull = geo.convex_hull(xs, ys)
         assert r.n_hull == len(hull)
         assert r.hull_area == pytest.approx(geo.polygon_area(xs[hull], ys[hull]))
+
+
+def test_box_overlaps_matches_oracle(spark):
+    from conftest import SF_DIR
+
+    assert_matches_oracle(
+        entrymod.queries()["box_overlaps"](spark, SF_DIR),
+        entrymod.oracle_sql()["box_overlaps"],
+    )
