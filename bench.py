@@ -47,6 +47,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
 
     # warm the JVM + parquet footers once so per-query times measure the
     # plans, not first-touch JIT.
@@ -55,11 +56,16 @@ def main() -> None:
     for name, fn in qs.items():
         try:
             t = materialize(spark, fn, sf_dir)
+            trials[name] = [round(t, 3)]
             if t > 5.0:
                 # single shots on this VM swing 30%+ with host CPU
                 # steal; re-measure the slow ones and keep the min so
-                # the recorded number reflects the engine, not the host
-                t = min(t, materialize(spark, fn, sf_dir))
+                # the recorded number reflects the engine, not the host.
+                # ALL trials are recorded under "trials" so the min-of-N
+                # protocol is visible in the artifact, not hidden.
+                t2 = materialize(spark, fn, sf_dir)
+                trials[name].append(round(t2, 3))
+                t = min(t, t2)
             times[name] = round(t, 3)
         except Exception as exc:  # keep the harness alive; surface the error
             times[name] = -1.0
@@ -70,11 +76,12 @@ def main() -> None:
     # steal / python-worker respawn (same protocol as bench_scaling.py);
     # min measures the engine, not the hypervisor.
     n_images = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    flagship = 9e9
+    flagship_trials = []
     for _ in range(3):
         t0 = time.perf_counter()
         entrymod._flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        flagship = min(flagship, time.perf_counter() - t0)
+        flagship_trials.append(round(time.perf_counter() - t0, 3))
+    flagship = min(flagship_trials)
 
     out = {
         "metric": "e2e matching pipeline wall (candidates->viterbi->tiles)",
@@ -85,6 +92,11 @@ def main() -> None:
         "n_images": n_images,
         "images_per_sec": round(n_images / flagship, 1),
         "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # full trial record: headline numbers are min-of-trials (VM CPU
+        # steal swings single shots 30%+); medians/raws are auditable here
+        "protocol": "min-of-trials",
+        "flagship_trials": flagship_trials,
+        "trials": trials,
     }
     print(json.dumps(out))
     spark.stop()

@@ -55,6 +55,14 @@ OPTS = _MC.load("rail").routing_opts()
 THIRD = 0.333333333  # routing_attributes.h:40-47 uses this literal
 SIMI_EPS = 0.0001    # router.cpp:116 "cur < 0.0001 => perfect match"
 
+
+def _D(x: float) -> str:
+    """A bare decimal literal in dialect-neutral SQL: Spark parses it as
+    DECIMAL (so downstream arithmetic and the driver's value hash come
+    back as decimal.Decimal), DuckDB as DOUBLE. Emit an explicit DOUBLE
+    cast so both engines agree on the type."""
+    return f"CAST({x!r} AS DOUBLE)"
+
 # route attributes of the synthetic query trip (routing_attributes:
 # short_name / from / to); matches the synthetic line l10 and a subset
 # of the from/to stop names so every simi component is exercised.
@@ -135,25 +143,25 @@ def _line_cur_sql(rattrs: dict) -> str:
     terms = []
     sn = rattrs["short_name"].replace("'", "''")
     if not rattrs["short_name"]:
-        terms.append(f"{THIRD!r}")
+        terms.append(_D(THIRD))
     else:
         simi = strings.line_simi_neutral_sql("line_name", f"'{sn}'")
-        terms.append(f"CASE WHEN ({simi}) > 0.5 THEN {THIRD!r} ELSE 0.0 END")
+        terms.append(f"CASE WHEN ({simi}) > 0.5 THEN {_D(THIRD)} ELSE 0.0 END")
     for attr, col in (("to", "to_stop"), ("from", "from_stop")):
         val = rattrs[attr].replace("'", "''")
         if not rattrs[attr]:
-            terms.append(f"{THIRD!r}")
+            terms.append(_D(THIRD))
         else:
             simi = strings.stat_simi_neutral_sql(col, f"'{val}'")
             terms.append(
                 f"CASE WHEN LENGTH({col}) = 0 OR ({simi}) > 0.5"
-                f" THEN {THIRD!r} ELSE 0.0 END"
+                f" THEN {_D(THIRD)} ELSE 0.0 END"
             )
-    return "1.0 - " + " - ".join(terms)
+    return "CAST(1.0 AS DOUBLE) - " + " - ".join(terms)
 
 
 _LINE_CMP_AGG = (
-    f"CASE WHEN MIN(cur) < {SIMI_EPS!r} THEN 0.0 ELSE MIN(cur) END"
+    f"CASE WHEN MIN(cur) < {_D(SIMI_EPS)} THEN 0.0 ELSE MIN(cur) END"
 )  # == the reference's early-return-0 on a perfect line match
 
 
@@ -202,7 +210,7 @@ def cost_expr(opts: dict = OPTS, has_rattrs: bool = True) -> str:
     """
     lv = opts["level_punish"]
     lvl = ("CASE a_level " +
-           " ".join(f"WHEN {i} THEN {lv[i]!r}" for i in range(8)) +
+           " ".join(f"WHEN {i} THEN {_D(lv[i])}" for i in range(8)) +
            " ELSE 1.0 END")
     viol = "(a_ow OR rneg OR (rpos_to IS NOT NULL AND rpos_to <> b_orig))"
     # angle test (angSmaller, misc.h:140-151): vectors via->backHop(a),
@@ -213,19 +221,19 @@ def cost_expr(opts: dict = OPTS, has_rattrs: bool = True) -> str:
     l2b = "((b_x2 - b_x1) * (b_x2 - b_x1) + (b_y2 - b_y1) * (b_y2 - b_y1))"
     full_turn = (
         "((a_src = b_dst AND a_dst = b_src) OR "
-        f"(deg > 2 AND {dot} > {_cos_full_turn(opts)!r} * SQRT({l2a}) * SQRT({l2b})))"
+        f"(deg > 2 AND {dot} > {_D(_cos_full_turn(opts))} * SQRT({l2a}) * SQRT({l2b})))"
     )
     no_lines = "0.0" if has_rattrs else (
-        f"CASE WHEN a_cmp >= 1.0 THEN a_len * {opts['no_lines_punish_fac']!r} ELSE 0.0 END"
+        f"CASE WHEN a_cmp >= 1.0 THEN a_len * {_D(opts['no_lines_punish_fac'])} ELSE 0.0 END"
     )
     return (
         f"a_len * ({lvl})"
-        f" + CASE WHEN {viol} THEN a_len * {opts['oneway_punish_fac']!r}"
-        f" + {opts['oneway_edge_punish']!r} ELSE 0.0 END"
-        f" + a_len * {opts['line_unmatched_punish_fac']!r} * a_cmp"
+        f" + CASE WHEN {viol} THEN a_len * {_D(opts['oneway_punish_fac'])}"
+        f" + {_D(opts['oneway_edge_punish'])} ELSE 0.0 END"
+        f" + a_len * {_D(opts['line_unmatched_punish_fac'])} * a_cmp"
         f" + {no_lines}"
-        f" + CASE WHEN {full_turn} THEN {opts['full_turn_punish']!r} ELSE 0.0 END"
-        f" + CASE WHEN via_station THEN {opts['pass_thru_station_punish']!r} ELSE 0.0 END"
+        f" + CASE WHEN {full_turn} THEN {_D(opts['full_turn_punish'])} ELSE 0.0 END"
+        f" + CASE WHEN via_station THEN {_D(opts['pass_thru_station_punish'])} ELSE 0.0 END"
     )
 
 
@@ -411,7 +419,12 @@ def build_edge_csr(trans_pdf: pd.DataFrame) -> dict:
         xy[all_fi, 1] = trans_pdf["fy"].to_numpy(np.float64)
         xy[all_ti, 0] = trans_pdf["tx"].to_numpy(np.float64)
         xy[all_ti, 1] = trans_pdf["ty"].to_numpy(np.float64)
-        csr["xy"] = xy
+        # admissibility gate (same invariant as routing._heuristic_admissible):
+        # an editable config with a level factor < 1 would make A* inexact.
+        from .routing import _heuristic_admissible
+
+        if _heuristic_admissible(csr, xy):
+            csr["xy"] = xy
     # weak-component labels over the state graph: the R6 shortcut
     # (router.cpp:598-599 — different component => cost inf). Without
     # it, ONE cross-component target in a Viterbi layer makes the A*
@@ -1062,15 +1075,18 @@ def edge_dijkstra_viterbi_step(
     # pilot (the first settled target, reusing THIS search instead of a
     # separate pilot Dijkstra) fixes the min hop cost c0, cap the search
     # at max(c0, pend*levelPunish[2])*3 + turn + station pens, where
-    # pend is the max straight-line seed->target distance. Targets
-    # beyond the band report inf — the reference prunes them the same
-    # way to bound the N x M hop matrix.
+    # pend is the max straight-line seed->target distance. The band is
+    # on the PURE HOP cost (d minus the winning seed's dp), as the
+    # reference bands each pairwise hop — NOT on the combined DP total:
+    # a target whose hop is in-band must stay reachable even when its
+    # best seed carries dp far above the layer minimum. An entry whose
+    # hop exceeds the cap is discarded (that seed-pair is inf); the
+    # state can still settle later via an in-band seed.
     band_cap: float | None = None
     pend = 0.0
-    base_dp = 0.0
+    seed_dp = {ordn: c for ordn, _, c in live_seeds}
     if band and live_seeds and remaining:
         xy = csr.get("xy")
-        base_dp = min(c for _, _, c in live_seeds)
         if xy is not None:
             sxy = xy[[si for _, si, _ in live_seeds]]
             txy = xy[np.fromiter(remaining, dtype=np.int64)]
@@ -1085,21 +1101,23 @@ def edge_dijkstra_viterbi_step(
         _, d, _, ordn, u = heapq.heappop(pq)
         if u in dist:
             continue
-        if band_cap is not None and d > band_cap:
-            break  # remaining targets are beyond the hop band => inf
+        if band_cap is not None and d - seed_dp[ordn] > band_cap:
+            continue  # this seed-pair's hop is beyond the band => inf
         dist[u] = d
         origin[u] = ordn
         remaining.discard(u)
         if not remaining:
             break
         if band and band_cap is None and u in tgt_set:
-            c0 = d - base_dp
-            band_cap = base_dp + max(c0, pend * OPTS["level_punish"][2]) * 3.0 + \
+            c0 = d - seed_dp[ordn]  # the pilot's pure hop cost
+            band_cap = max(c0, pend * OPTS["level_punish"][2]) * 3.0 + \
                 OPTS["full_turn_punish"] + OPTS["pass_thru_station_punish"]
         for i in range(indptr[u], indptr[u + 1]):
             v = int(dsts[i])
             if v not in dist:
                 d2 = d + float(cost[i])
+                if band_cap is not None and d2 - seed_dp[ordn] > band_cap:
+                    continue  # prune pushes beyond this seed's hop band
                 hv = float(harr[v]) if harr is not None else 0.0
                 heapq.heappush(pq, (d2 + hv, d2, int(states[v]), ordn, v))
     out_d: dict[int, float] = {}
@@ -1178,7 +1196,9 @@ def build_variant_transitions(spark: SparkSession, edges: DataFrame) -> dict[int
     broadcast)."""
     from .. import datagen
 
-    key = id(spark)
+    from .routing import session_token
+
+    key = session_token(spark)
     if key not in _VARIANT_TRANS_CACHE:
         restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
         nodes = datagen.nodes(spark)

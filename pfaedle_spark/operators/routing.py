@@ -85,8 +85,25 @@ def build_csr(edges_pdf: pd.DataFrame, level_punish: bool = True) -> dict:
         xy[s_all, 1] = edges_pdf["y1"].to_numpy(np.float64)
         xy[d_all, 0] = edges_pdf["x2"].to_numpy(np.float64)
         xy[d_all, 1] = edges_pdf["y2"].to_numpy(np.float64)
-        csr["xy"] = xy
+        if _heuristic_admissible(csr, xy):
+            csr["xy"] = xy  # else: plain Dijkstra (exact, just unpruned)
     return csr
+
+
+def _heuristic_admissible(csr: dict, xy: np.ndarray) -> bool:
+    """A* exactness needs cost(u->v) >= straight-line |u - v| for EVERY
+    arc — true for the shipped config (all level factors >= 1, punish
+    terms >= 0) but silently broken by an editable config with a factor
+    < 1. Check the invariant on the data itself (one vectorized pass)
+    instead of trusting config semantics; on violation the caller keeps
+    the CSR heuristic-free and every search degrades to exact Dijkstra."""
+    u, indptr = csr["dst"], csr["indptr"]
+    src_of = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+    d = xy[u] - xy[src_of]
+    disp = np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+    with np.errstate(invalid="ignore"):
+        bad = csr["cost"] + 1e-6 < disp  # NaN coords compare False: admissible (h=0)
+    return not bool(bad.any())
 
 
 # R9 route cache (reference ``router::cache``/``getCachedHops``,
@@ -101,13 +118,22 @@ _ROUTE_CACHE_MAX = 200_000
 _EDGES_BC_CACHE: dict = {}
 
 
+def session_token(spark) -> str:
+    """A per-SparkSession key that cannot alias across sessions the way
+    ``id(spark)`` can (a new session allocated at a freed session's
+    address would be handed a broadcast from a *stopped* SparkContext).
+    applicationId + startTime is unique per context lifetime."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
+
+
 def edges_broadcast(spark, edges_directed: DataFrame):
     """Driver-side memo: ONE toPandas + broadcast per distinct edge plan
     per session. The graph is static across queries, and a fresh collect
     per invocation is pure serial driver time — at N->4N parallelism it
     is the Amdahl term that caps scaling efficiency (the collect costs
     the same at every cluster size)."""
-    key = (id(spark), edges_directed.semanticHash())
+    key = (session_token(spark), edges_directed.semanticHash())
     if key not in _EDGES_BC_CACHE:
         if len(_EDGES_BC_CACHE) > 8:
             _EDGES_BC_CACHE.clear()

@@ -12,6 +12,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """Shuffle/spill dir. tmpfs (/dev/shm) restores the per-core shuffle
+    I/O a real cluster's per-node SSDs provide on this one-virtual-disk
+    box, but it spends RAM — a shuffle bigger than the tmpfs cap dies
+    with ENOSPC/OOM, exactly the large-shuffle workloads this engine
+    targets. So: explicit SPARK_GRAFT_LOCAL_DIR always wins; tmpfs is
+    used only when /dev/shm has comfortable headroom (>= 16 GiB free);
+    otherwise the normal disk temp dir."""
+    explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if explicit:
+        return explicit
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 << 30:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark-local")
+
+
 def get_spark(
     app: str = "pfaedle_spark",
     cores: int | None = None,
@@ -37,14 +57,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        # shuffle/spill dir: this box has ONE virtual disk — a shared
-        # resource that serializes shuffle I/O regardless of core count
-        # (a cluster's per-node local SSDs scale with executors). tmpfs
-        # restores the per-core I/O a real deployment has.
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -24,9 +24,19 @@ def norm(pdf):
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
 
 qs, osql = E.queries(), E.oracle_sql()
+only = [a for a in sys.argv[1:] if not a.startswith("-")]
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 for name, fn in qs.items():
     t0 = time.time()
     got = norm(fn(spark, SF).toPandas())
+    # the driver's value hash is dtype-sensitive: a Spark DECIMAL column
+    # arrives as object-dtype Decimal and hash-fails vs DuckDB DOUBLE
+    # even when values are equal — surface that locally.
+    import decimal
+    for c in got.columns:
+        if got[c].dtype == object and got[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
+            print(f"    DTYPE-HAZARD col {c}: decimal.Decimal (Spark DECIMAL inference)")
     if name not in osql:
         print(f"  {name}: {len(got)} rows (rows-only, no oracle)"); continue
     want = norm(con.execute(osql[name]).fetchdf())
