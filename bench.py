@@ -83,6 +83,20 @@ def main() -> None:
         flagship_trials.append(round(time.perf_counter() - t0, 3))
     flagship = min(flagship_trials)
 
+    # composed §3.1 lifecycle (graph build -> snap/splits -> collapse ->
+    # components -> candidates -> full Viterbi -> shapes -> GTFS sink),
+    # cold (fresh checkpoint root, so every stage computes + persists)
+    import shutil
+    import tempfile
+
+    from pfaedle_spark.plans.lifecycle import checkpointed_lifecycle
+
+    lc_root = tempfile.mkdtemp(prefix="bench_lifecycle_")
+    t0 = time.perf_counter()
+    checkpointed_lifecycle(spark, sf_dir, lc_root)  # stages materialize inside
+    lifecycle_wall = time.perf_counter() - t0
+    shutil.rmtree(lc_root, ignore_errors=True)
+
     out = {
         "metric": "e2e matching pipeline wall (candidates->viterbi->tiles)",
         "value": round(flagship, 3),
@@ -96,6 +110,7 @@ def main() -> None:
         # steal swings single shots 30%+); medians/raws are auditable here
         "protocol": "min-of-trials",
         "flagship_trials": flagship_trials,
+        "lifecycle_e2e_sec": round(lifecycle_wall, 3),
         "trials": trials,
     }
     print(json.dumps(out))

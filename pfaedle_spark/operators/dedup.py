@@ -94,44 +94,68 @@ FROM keyed k JOIN grp g USING (text_hash)
 # shingles
 # --------------------------------------------------------------------
 
-def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct word k-shingles per doc, with their 31-bit hash.
+ROLL_B = 1000003  # polynomial base of the shingle rolling hash
 
-    Array-native (transform over sequence) — no explode-then-window
-    shuffle; the only shuffle is the final DISTINCT.
+
+def _shingle_hash_arr(toks, k: int):
+    """Array of shingle hashes: integer polynomial over the k token
+    hashes, (((th[i]*B % P) + th[i+1]) * B % P + ...) % P. Intermediates
+    stay < P*B ~ 2.1e15, well inside BIGINT — bit-identical in DuckDB.
+
+    Built by zip_with over k SHIFTED SLICES, not element_at inside a
+    transform lambda: a non-trivial child expression referenced inside a
+    HOF lambda is re-evaluated per element (no CSE across lambda
+    scopes), which turns n md5s into O(k*n^2) — measured 10x slower on
+    this exact operator. Each slice evaluates its child once."""
+    n_sh = F.size(toks) - (k - 1)
+    parts = [
+        F.transform(F.slice(toks, j + 1, n_sh), lambda t: h31(t))
+        for j in range(k)
+    ]
+    sh = parts[0]
+    for j in range(1, k):
+        sh = F.zip_with(sh, parts[j], lambda a, b: (a * ROLL_B % P31 + b) % P31)
+    return sh
+
+
+def _roll_sql(i_base: str, k: int) -> str:
+    expr = f"th[{i_base}+1]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {ROLL_B} % {P31} + th[{i_base}+{j + 1}]) % {P31}"
+    return expr
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-shingle hashes per doc.
+
+    One md5 per TOKEN (not per shingle string — measured the dominant
+    cost of the dedup family), combined per shingle with a pure-integer
+    rolling polynomial; per-doc dedup happens array-side
+    (array_distinct), so the operator is completely shuffle-free.
     """
     toks = F.split(F.col("text"), " ")
-    # guard: sequence(0, -n) steps BACKWARD in Spark (default step -1),
-    # yielding [0,-1,...] and element_at(toks, 0) => INVALID_ARRAY_INDEX.
-    # Filter short docs instead (the DuckDB oracle filters LEN(toks)>=k).
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    sh = F.array_distinct(_shingle_hash_arr(toks, k))
+    # short docs filtered out, matching the oracle's LEN(toks) >= k
     return (
         docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-        .withColumn("sh_hash", h31(F.col("shingle")))
+        .select("doc_id", F.explode(sh).alias("sh_hash"))
     )
 
 
 def _shingles_cte(k: int = SHINGLE_K) -> str:
-    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
     return f"""
 {CORPUS_CTE.lstrip()},
 tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM corpus),
+tokh AS (
+  SELECT doc_id, LIST_TRANSFORM(toks, t -> {_h31_sql('t')}) AS th,
+         LEN(toks) AS n
+  FROM tok WHERE LEN(toks) >= {k}
+),
 shingles AS (
-  SELECT DISTINCT doc_id, shingle, {_h31_sql('shingle')} AS sh_hash
-  FROM (
-    SELECT doc_id,
-           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - {k - 2}),
-                                 i -> {parts})) AS shingle
-    FROM tok WHERE LEN(toks) >= {k}
-  )
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(0, n - {k - 1}),
+                               i -> {_roll_sql('i', k)})) AS sh_hash
+  FROM tokh
 )"""
 
 
@@ -162,16 +186,7 @@ def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame
     """
     toks = F.split(F.col("text"), " ")
     k = SHINGLE_K
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    sh_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        )
-    )
-    hs = F.transform(sh_arr, lambda s: h31(s))
+    hs = F.array_distinct(_shingle_hash_arr(toks, k))
     consts = perm_constants(num_perms)
     pa = F.array(*[F.lit(a).cast("long") for a, _ in consts])
     pb = F.array(*[F.lit(b).cast("long") for _, b in consts])

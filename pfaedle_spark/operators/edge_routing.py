@@ -1182,27 +1182,54 @@ def _viterbi_full_one(pdf: pd.DataFrame, trans_by_variant: dict) -> pd.DataFrame
     )
 
 
+_DEDGES_PDF_CACHE: dict = {}
+
+
+def directed_full_pdf(spark: SparkSession, edges: DataFrame) -> pd.DataFrame:
+    """Driver-side memo of the directed-edge collect (graph-sized,
+    static across queries) — same Amdahl argument as
+    routing.edges_broadcast: re-collecting per invocation is serial
+    driver time that does not shrink with cluster size."""
+    from .routing import session_token
+
+    key = (session_token(spark), edges.semanticHash())
+    if key not in _DEDGES_PDF_CACHE:
+        if len(_DEDGES_PDF_CACHE) > 4:
+            _DEDGES_PDF_CACHE.clear()
+        _DEDGES_PDF_CACHE[key] = directed_full(edges).toPandas()
+    return _DEDGES_PDF_CACHE[key]
+
+
 _VARIANT_TRANS_CACHE: dict = {}
 
 
-def build_variant_transitions(spark: SparkSession, edges: DataFrame) -> dict[int, pd.DataFrame]:
+def build_variant_transitions(
+    spark: SparkSession, edges: DataFrame, nodes: DataFrame | None = None
+) -> dict[int, pd.DataFrame]:
     """One transition table per route-attr variant (the reference keys
     its route cache by rAttrs the same way, router.cpp:626-688).
 
-    Memoized per SparkSession: the tables are deterministic functions of
-    the (static) graph, and both viterbi_full and shape_assembly need
-    them — rebuilding 3 self-join jobs per query invocation is pure
-    waste (driver-side cache, graph-sized, same budget as the CSR
-    broadcast)."""
+    Memoized per (session, edge-plan): the tables are deterministic
+    functions of the graph, and both viterbi_full and shape_assembly
+    need them — rebuilding 3 self-join jobs per query invocation is
+    pure waste (driver-side cache, graph-sized, same budget as the CSR
+    broadcast). The composed lifecycle passes a DIFFERENT edge set than
+    the standalone queries, so the key carries the plan hash."""
     from .. import datagen
 
     from .routing import session_token
 
-    key = session_token(spark)
+    key = (
+        session_token(spark),
+        edges.semanticHash(),
+        nodes.semanticHash() if nodes is not None else None,
+    )
     if key not in _VARIANT_TRANS_CACHE:
         restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
-        nodes = datagen.nodes(spark)
-        _VARIANT_TRANS_CACHE.clear()  # one live session at a time
+        if nodes is None:
+            nodes = datagen.nodes(spark)
+        if len(_VARIANT_TRANS_CACHE) > 4:
+            _VARIANT_TRANS_CACHE.clear()
         _VARIANT_TRANS_CACHE[key] = tag_transitions({
             v: pdf.drop(columns="__variant__").reset_index(drop=True)
             for v, pdf in _all_variant_transitions(edges, restr, nodes)

@@ -318,6 +318,8 @@ def collapse_edges_sql(
     rounds: int = COLLAPSE_MAX_ROUNDS,
     with_geoms: bool = False,
     step: float = 256.0,
+    station_src: str = "(SELECT node_id FROM nodes WHERE is_station)",
+    final_select: bool = True,
 ) -> str:
     """Unrolled SQL mirror of delete_orphan_edges + collapse_edges.
 
@@ -340,7 +342,7 @@ deg{r} AS (
 ),
 hang{r} AS (
   SELECT d.node_id FROM deg{r} d
-  LEFT JOIN (SELECT node_id FROM nodes WHERE is_station) s USING (node_id)
+  LEFT JOIN {station_src} s USING (node_id)
   WHERE d.deg = 1 AND s.node_id IS NULL
 ),
 e{r + 1} AS MATERIALIZED (
@@ -397,7 +399,7 @@ cdeg{r} AS (
 ),
 cmid{r} AS (
   SELECT d.node_id AS mid FROM cdeg{r} d
-  LEFT JOIN (SELECT node_id FROM nodes WHERE is_station) s USING (node_id)
+  LEFT JOIN {station_src} s USING (node_id)
   WHERE d.deg = 2 AND s.node_id IS NULL
 ),
 cinc{r} AS MATERIALIZED (
@@ -438,6 +440,8 @@ c{r + 1} AS MATERIALIZED (
   SELECT e1, a_other, b_other, a_level, a_oneway, a_length + b_length{gmerge}
   FROM csafe{r}
 )"""
+    if not final_select:
+        return sql  # composable: caller appends CTEs reading c{rounds}
     if with_geoms:
         return sql + f"""
 SELECT edge_id, src, dst, level, oneway, length,

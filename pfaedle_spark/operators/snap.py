@@ -135,7 +135,8 @@ def snap_with_splits(
     edges: DataFrame,
     radii: list[float] | None = None,
     eps: float = SPLIT_EPS,
-) -> DataFrame:
+    return_edges: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Escalating-radius snap with edge splitting.
 
     Per round: cell join (stops x current edges) -> best edge per stop
@@ -216,6 +217,11 @@ def snap_with_splits(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if return_edges:
+        # the post-split edge set — the composed lifecycle feeds it to
+        # collapse/routing so split edges become routing states (the
+        # reference's in-place graph mutation, osm_builder.cpp:1363-1506)
+        return out, cur_edges
     return out
 
 
@@ -263,19 +269,40 @@ def snap_with_splits_sql(
 ) -> str:
     """Round-unrolled DuckDB oracle for :func:`snap_with_splits`."""
     radii = radii or SPLIT_RADII
+    parts = [
+        sqlgen.with_ctes("stations", "edges"),
+        snap_splits_ctes(radii=radii, eps=eps),
+    ]
+    sel = "\nUNION ALL\n".join(
+        f"SELECT stop_id, node_id, kind, round, dist, qx, qy, edge_id AS split_edge FROM snap{k}"
+        for k in range(1, len(radii) + 1)
+    )
+    parts.append("\n" + sel + "\n")
+    return "".join(parts)
+
+
+def snap_splits_ctes(
+    radii: list[float] | None = None,
+    eps: float = SPLIT_EPS,
+    edge_src: str = "edges",
+    stop_src: str = "stations",
+) -> str:
+    """The snap rounds as composable CTEs: emits ``snap1..snapK`` (one
+    per round) and ``edges0..edgesK`` — ``edges<K>`` is the post-split
+    edge set downstream oracles (collapse, routing) build on."""
+    radii = radii or SPLIT_RADII
     # projection exprs over the snap-row column names (x, y, x1..y2)
-    t, qx, qy, dpos = _T, _QX, _QY, _DPOS
+    t, qx, qy = _T, _QX, _QY
     kind = _KIND.format(eps=eps)
     node_id = _NODE_ID.format(eps=eps)
-    parts = [sqlgen.with_ctes("stations", "edges")]
-    parts.append(f""",
+    parts = [f""",
 edges0 AS (
   SELECT edge_id, src, dst, x1, y1, x2, y2, level, oneway, length
-  FROM edges
+  FROM {edge_src}
 ),
 stops0 AS (
-  SELECT stop_id, {_STOPNUM} AS stopnum, x, y FROM stations
-)""")
+  SELECT stop_id, {_STOPNUM} AS stopnum, x, y FROM {stop_src}
+)"""]
     for k, r in enumerate(radii, start=1):
         parts.append(f""",
 cand{k} AS ({_cell_join_sql(f'stops{k - 1}', f'edges{k - 1}', r)}
@@ -288,7 +315,7 @@ win{k} AS (
   SELECT * FROM best{k}
   QUALIFY ROW_NUMBER() OVER (PARTITION BY edge_id ORDER BY dist ASC, stop_id ASC) = 1
 ),
-snap{k} AS (
+snap{k} AS MATERIALIZED (
   SELECT stop_id, stopnum, dist, edge_id, src, dst, x1, y1, x2, y2,
          level, oneway, length,
          {t} AS t, {qx} AS qx, {qy} AS qy,
@@ -296,7 +323,7 @@ snap{k} AS (
          {k} AS round
   FROM win{k}
 ),
-edges{k} AS (
+edges{k} AS MATERIALIZED (
   SELECT * FROM edges{k - 1}
   WHERE edge_id NOT IN (SELECT edge_id FROM snap{k} WHERE kind = 'split')
   UNION ALL
@@ -308,15 +335,18 @@ edges{k} AS (
          level, oneway, (1.0 - t) * length
   FROM snap{k} WHERE kind = 'split'
 ),
-stops{k} AS (
+stops{k} AS MATERIALIZED (
   SELECT * FROM stops{k - 1}
   WHERE stop_id NOT IN (SELECT stop_id FROM snap{k})
 )""")
-    sel = "\nUNION ALL\n".join(
-        f"SELECT stop_id, node_id, kind, round, dist, qx, qy, edge_id AS split_edge FROM snap{k}"
+    snaps_all = "\nUNION ALL\n".join(
+        f"SELECT stop_id, stopnum, node_id, kind, round, dist, qx, qy, edge_id AS split_edge FROM snap{k}"
         for k in range(1, len(radii) + 1)
     )
-    parts.append("\n" + sel + "\n")
+    parts.append(f""",
+snaps_all AS MATERIALIZED (
+{snaps_all}
+)""")
     return "".join(parts)
 
 

@@ -50,3 +50,40 @@ def test_invalidate_forces_recompute(spark, tmp_path):
     cp2.invalidate("ten")
     cp2.stage("ten", lambda: spark.range(10).toDF("n"))
     assert cp2.computed == ["ten"]
+
+
+def test_lifecycle_checkpoints_and_resumes(spark, tmp_path):
+    """The composed §3.1 chain: graph build -> snap/splits -> collapse ->
+    components -> candidates -> full Viterbi -> shapes -> GTFS sink,
+    resumable at stage granularity; shapes rows survive the round trip."""
+    import os
+
+    from pfaedle_spark.plans.lifecycle import checkpointed_lifecycle
+
+    root = str(tmp_path / "lc")
+    shapes1, cp1 = checkpointed_lifecycle(spark, SF_DIR, root)
+    n1 = shapes1.count()
+    assert n1 > 0
+    assert cp1.computed == [
+        "snaps", "graph_nodes", "graph_edges", "components",
+        "candidates", "viterbi", "shapes", "gtfs_shapes",
+    ]
+    # the S5 sink wrote the fixed-name GTFS file, row count matches
+    feed = os.path.join(root, "feed", "shapes.txt")
+    with open(feed) as f:
+        assert sum(1 for _ in f) == n1 + 1  # header
+
+    # kill + rerun: everything resumes, nothing recomputes
+    shapes2, cp2 = checkpointed_lifecycle(spark, SF_DIR, root)
+    assert cp2.computed == [] and len(cp2.skipped) == 8
+    assert shapes2.count() == n1
+
+    # losing the viterbi checkpoint recomputes only the DP tail; the
+    # (expensive) graph-construction prefix stays resumed
+    shutil.rmtree(f"{root}/viterbi")
+    shapes3, cp3 = checkpointed_lifecycle(spark, SF_DIR, root)
+    assert cp3.computed == ["viterbi", "shapes", "gtfs_shapes"]
+    assert set(cp3.skipped) == {
+        "snaps", "graph_nodes", "graph_edges", "components", "candidates",
+    }
+    assert shapes3.count() == n1
