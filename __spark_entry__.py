@@ -1,13 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship pipeline smoke at sf0.001.
-``queries()``   — one callable per implemented operator (46 queries;
-                  the SURVEY.md §2 map is COVERAGE.md).
-``oracle_sql()``— DuckDB-equivalent SQL per query (39 bit-identical
-                  oracles; the 7 inherently sequential per-trip ops —
-                  Viterbi, greedy2, Fréchet, segmentize, iterative
-                  contraction, Douglas-Peucker — carry independent
-                  python-reference oracles in tests/ instead).
+``queries()``   — one callable per implemented operator (76 queries,
+                  SQL-oracled ones first; the SURVEY.md §2 map is
+                  COVERAGE.md).
+``oracle_sql()``— DuckDB-equivalent SQL per query (66 bit-identical
+                  oracles, incl. recursive-CTE oracles for the
+                  Manhattan-variant greedy2/Viterbi DPs and the
+                  round-unrolled composed lifecycle graph; the 10
+                  rows-only entries are the full-cost sequential DP /
+                  geometry kernels, each gated by an independent
+                  python-reference test in tests/ instead).
 
 The synthetic image+caption table (BASELINE.json input_hint) is derived
 deterministically from the driver's ``documents`` parquet via pure
@@ -233,9 +236,15 @@ def _q_station_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stations.station_groups(datagen.station_nodes(spark))
 
 
+def _q_edge_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — way track tags propagated to endpoint station nodes
+    (osm_builder.cpp:1631-1646)."""
+    return osmfilter.edge_tracks(spark, sf_dir)
+
+
 def _q_candidate_penalties(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapped = snap.snap_stations(datagen.stations(spark), datagen.station_nodes(spark))
-    return stations.candidate_penalties(snapped)
+    return stations.candidate_penalties(snapped, osmfilter.edge_tracks(spark, sf_dir))
 
 
 def _q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +474,28 @@ def _q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalmetrics.segmentize(_aligned_xy(spark, sf_dir), stops)
 
 
+def _q_trip_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-T analogue: one trip's candidate layers, per-state DP costs and
+    the chosen path (app.cpp:206-224); layer/cost agreement with
+    viterbi_full is pytest-gated."""
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    tbv = edge_routing.build_variant_transitions(spark, eds)
+    return edge_routing.viterbi_trip_debug(cand, tbv, "trip_3")
+
+
+def _q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 global summary row: A_N/N, length-weighted A_L/L, d_f spread
+    (collector::print_stats, collector.cpp:389-439). The d_f kernel is
+    py-ref; the aggregate is the dialect-neutral EVAL_SUMMARY_EXPRS
+    string, DuckDB-checked in tests/test_evalmetrics.py over the
+    engine's own per-trip rows."""
+    truth = datagen.points(spark, sf_dir).select("trip_id", "seq", "x", "y")
+    return evalmetrics.eval_summary(
+        evalmetrics.frechet_eval(_aligned_xy(spark, sf_dir), truth)
+    )
+
+
 # --- multimodal payload ops (input_hint image table) ------------------
 
 def _q_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +537,7 @@ def _q_tiles_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROWS_ONLY = [
     "viterbi_align", "simplify_geoms", "viterbi_full", "shape_geoms",
     "greedy2_align", "frechet_eval", "df_histogram", "segmentize",
+    "eval_summary", "trip_debug",
 ]
 
 
@@ -549,6 +581,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxspeed_parse": _q_maxspeed,
         "name_similarity": _q_name_simi,
         "station_groups": _q_station_groups,
+        "edge_tracks": _q_edge_tracks,
         "candidate_penalties": _q_candidate_penalties,
         "pip_assign": _q_pip_assign,
         "orphan_edges": _q_orphan_edges,
@@ -574,10 +607,14 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alt_name_simi": _q_alt_name_simi,
         "self_edges": _q_self_edges,
         "netgraph_usage": _q_netgraph_usage,
+        "greedy2_manhattan": _q_greedy2_manhattan,
+        "viterbi_manhattan": _q_viterbi_manhattan,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
         "df_histogram": _q_df_histogram,
         "segmentize": _q_segmentize,
+        "eval_summary": _q_eval_summary,
+        "trip_debug": _q_trip_debug,
         "images_meta": _q_images_meta,
         "image_decode_stats": _q_image_decode_stats,
         "image_lossy_psnr": _q_image_lossy_psnr,
@@ -595,6 +632,156 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_chains": osmfilter.normalize_chains,
         "line_first_match": osmfilter.line_first_match,
     }
+
+
+def _q_greedy2_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 greedy2 on the unpunished bidirectional grid — the variant
+    whose per-layer Dijkstra hop has the Manhattan closed form, so the
+    WHOLE chained argmin is SQL-checkable (recursive CTE oracle). The
+    full-cost variant (greedy2_align) keeps its py-ref gates."""
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds.withColumn("oneway", F.lit(False)))
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    return routing.greedy2_align(cand, bidir, level_punish=False)
+
+
+def _greedy2_manhattan_sql() -> str:
+    """Recursive-CTE oracle: walk each trip's layers in seq order; per
+    step pick argmin(hop + emission) with (score, edge_id) tie-break —
+    hop = Manhattan x spacing on the same river side, +inf across
+    (exactly the unpunished grid's shortest path)."""
+    g, rc, sp = C.GRID_N, C.RIVER_COL, C.GRID_SPACING
+    fac = C.CAND_PEN_FAC
+    hop = (
+        f"CASE WHEN (g.cand_node % {g} < {rc}) = (n.cand_node % {g} < {rc}) "
+        f"THEN (ABS(g.cand_node // {g} - n.cand_node // {g}) "
+        f"    + ABS(g.cand_node % {g} - n.cand_node % {g})) * {sp!r} "
+        f"ELSE CAST('infinity' AS DOUBLE) END"
+    )
+    return candidates.candidates_cte_sql() + f""",
+cand_m AS MATERIALIZED (SELECT * FROM cand),
+layers AS MATERIALIZED (SELECT DISTINCT trip_id, seq FROM cand_m),
+nxt AS MATERIALIZED (
+  SELECT trip_id, seq,
+         LEAD(seq) OVER (PARTITION BY trip_id ORDER BY seq) AS next_seq
+  FROM layers
+),
+first_layer AS MATERIALIZED (SELECT trip_id, MIN(seq) AS seq FROM layers GROUP BY trip_id),
+greedy AS (
+  WITH RECURSIVE g(trip_id, seq, image_id, edge_id, cand_node, emission, acc_cost) AS (
+    SELECT trip_id, seq, image_id, edge_id, cand_node, em, em FROM (
+      SELECT c.trip_id, c.seq, c.image_id, c.edge_id, c.cand_node,
+             c.dist * {fac!r} AS em,
+             ROW_NUMBER() OVER (PARTITION BY c.trip_id
+                                ORDER BY c.dist * {fac!r} ASC, c.edge_id ASC) AS rk
+      FROM cand_m c JOIN first_layer f ON f.trip_id = c.trip_id AND f.seq = c.seq
+    ) WHERE rk = 1
+    UNION ALL
+    SELECT trip_id, seq, image_id, edge_id, cand_node, em, acc FROM (
+      SELECT n.trip_id, n.seq, n.image_id, n.edge_id, n.cand_node,
+             n.dist * {fac!r} AS em,
+             g.acc_cost + (n.dist * {fac!r} + {hop}) AS acc,
+             ROW_NUMBER() OVER (PARTITION BY n.trip_id
+                                ORDER BY (n.dist * {fac!r} + {hop}) ASC,
+                                         n.edge_id ASC) AS rk
+      FROM (SELECT gg.*, x.next_seq
+            FROM g gg JOIN nxt x ON x.trip_id = gg.trip_id AND x.seq = gg.seq
+            WHERE x.next_seq IS NOT NULL) g
+      JOIN cand_m n ON n.trip_id = g.trip_id AND n.seq = g.next_seq
+    ) WHERE rk = 1
+  )
+  SELECT * FROM g
+)
+SELECT trip_id, seq, image_id, edge_id, cand_node, emission, acc_cost
+FROM greedy
+"""
+
+
+def _q_viterbi_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 global Viterbi on the unpunished bidirectional grid — the
+    variant whose hop matrix has the Manhattan closed form, so the WHOLE
+    forward DP + backtrack is SQL-checkable (two recursive CTEs). The
+    full-cost variants (viterbi_align / viterbi_full) keep their py-ref
+    brute-force gates."""
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds.withColumn("oneway", F.lit(False)))
+    cand = candidates.candidate_edges(datagen.points(spark, sf_dir), eds)
+    return routing.viterbi_align(cand, bidir, level_punish=False)
+
+
+def _viterbi_manhattan_sql() -> str:
+    """Forward recursive CTE computes every layer's per-candidate DP cost
+    and best-predecessor edge (argmin ties -> smaller prev edge_id, the
+    engine's first-minimum over edge_id-sorted rows); a second recursive
+    CTE backtracks from the final layer's argmin. Float parity: the DP
+    total is built as (dp + hop) + em in both engines."""
+    g, rc, sp = C.GRID_N, C.RIVER_COL, C.GRID_SPACING
+    fac = C.CAND_PEN_FAC
+    hop = (
+        f"CASE WHEN (p.cand_node % {g} < {rc}) = (n.cand_node % {g} < {rc}) "
+        f"THEN (ABS(p.cand_node // {g} - n.cand_node // {g}) "
+        f"    + ABS(p.cand_node % {g} - n.cand_node % {g})) * {sp!r} "
+        f"ELSE CAST('infinity' AS DOUBLE) END"
+    )
+    return candidates.candidates_cte_sql() + f""",
+cand_m AS MATERIALIZED (SELECT * FROM cand),
+layers AS MATERIALIZED (SELECT DISTINCT trip_id, seq FROM cand_m),
+nxt AS MATERIALIZED (
+  SELECT trip_id, seq,
+         LEAD(seq) OVER (PARTITION BY trip_id ORDER BY seq) AS next_seq
+  FROM layers
+),
+first_layer AS MATERIALIZED (SELECT trip_id, MIN(seq) AS seq FROM layers GROUP BY trip_id),
+last_layer AS MATERIALIZED (SELECT trip_id, MAX(seq) AS seq FROM layers GROUP BY trip_id),
+dp AS MATERIALIZED (
+  WITH RECURSIVE fwd(trip_id, seq, edge_id, cand_node, image_id, em, dp, prev_edge) AS (
+    SELECT c.trip_id, c.seq, c.edge_id, c.cand_node, c.image_id,
+           c.dist * {fac!r}, c.dist * {fac!r}, CAST(-1 AS BIGINT)
+    FROM cand_m c JOIN first_layer f ON f.trip_id = c.trip_id AND f.seq = c.seq
+    UNION ALL
+    SELECT trip_id, seq, edge_id, cand_node, image_id, em, total, prev_edge FROM (
+      SELECT n.trip_id, n.seq, n.edge_id, n.cand_node, n.image_id,
+             n.dist * {fac!r} AS em,
+             (p.dp + {hop}) + n.dist * {fac!r} AS total,
+             p.edge_id AS prev_edge,
+             ROW_NUMBER() OVER (PARTITION BY n.trip_id, n.seq, n.edge_id
+                                ORDER BY (p.dp + {hop}) + n.dist * {fac!r} ASC,
+                                         p.edge_id ASC) AS rk
+      FROM (SELECT f.*, x.next_seq
+            FROM fwd f JOIN nxt x ON x.trip_id = f.trip_id AND x.seq = f.seq
+            WHERE x.next_seq IS NOT NULL) p
+      JOIN cand_m n ON n.trip_id = p.trip_id AND n.seq = p.next_seq
+    ) WHERE rk = 1
+  )
+  SELECT * FROM fwd
+),
+prv AS MATERIALIZED (
+  SELECT trip_id, seq,
+         LAG(seq) OVER (PARTITION BY trip_id ORDER BY seq) AS prev_seq
+  FROM layers
+),
+back AS (
+  WITH RECURSIVE bk(trip_id, seq, edge_id) AS (
+    SELECT trip_id, seq, edge_id FROM (
+      SELECT d.trip_id, d.seq, d.edge_id,
+             ROW_NUMBER() OVER (PARTITION BY d.trip_id
+                                ORDER BY d.dp ASC, d.edge_id ASC) AS rk
+      FROM dp d JOIN last_layer l ON l.trip_id = d.trip_id AND l.seq = d.seq
+    ) WHERE rk = 1
+    UNION ALL
+    SELECT d.trip_id, p.prev_seq, d.prev_edge
+    FROM bk b
+    JOIN dp d ON d.trip_id = b.trip_id AND d.seq = b.seq AND d.edge_id = b.edge_id
+    JOIN prv p ON p.trip_id = b.trip_id AND p.seq = b.seq
+    WHERE p.prev_seq IS NOT NULL
+  )
+  SELECT * FROM bk
+)
+SELECT d.trip_id, d.seq, d.image_id, d.edge_id, d.cand_node,
+       d.em AS emission, d.dp AS acc_cost
+FROM back b
+JOIN dp d ON d.trip_id = b.trip_id AND d.seq = b.seq AND d.edge_id = b.edge_id
+"""
 
 
 def _lifecycle_graph_sql() -> str:
@@ -702,6 +889,9 @@ SELECT s.stop_id, n.node_id,
 FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
 """,
         "station_groups": stations.station_groups_sql(),
+        "edge_tracks": osmfilter.edge_tracks_sql(),
+        "greedy2_manhattan": _greedy2_manhattan_sql(),
+        "viterbi_manhattan": _viterbi_manhattan_sql(),
         "candidate_penalties": stations.candidate_penalties_sql(
             f"WITH snapped AS ({snap.snap_oracle_sql()})"
         ),

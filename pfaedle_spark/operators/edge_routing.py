@@ -962,6 +962,41 @@ def viterbi_full(
     )
 
 
+def viterbi_trip_debug(
+    cand: DataFrame,
+    transitions_by_variant: dict[int, pd.DataFrame],
+    trip_id: str,
+) -> DataFrame:
+    """The ``pfaedle -T <trip>`` debug surface (app.cpp:206-224 +
+    shape_builder.cpp:136-144): ONE trip's complete candidate layers —
+    every directed-edge state per observation with its emission, the
+    layer's DP cost through the full R3 transition model, and whether
+    the backtrack chose it. Rows with chosen=true reproduce
+    :func:`viterbi_full` for the trip exactly (asserted in
+    tests/test_edge_routing.py); the GeoJSON dump goes through
+    sources.osm.geojson_sink."""
+    spark = cand.sparkSession
+    one = cand.filter(F.col("trip_id") == trip_id).localCheckpoint(eager=False)
+    fps = trip_fingerprints(one)
+    bc = spark.sparkContext.broadcast(tag_transitions(transitions_by_variant))
+    keyed = (
+        one.withColumn("emission", F.expr(emission_expr()))
+        .join(fps.select("trip_id", "fingerprint", "variant"), "trip_id")
+        .select("fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank")
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _viterbi_full_one(pdf, bc.value, debug=True)
+
+    return keyed.groupBy("fingerprint").applyInPandas(
+        solve,
+        schema=(
+            "fingerprint string, seq long, state_edge long, edge_id long, "
+            "emission double, acc_cost double, chosen boolean"
+        ),
+    )
+
+
 _VF_CSR_CACHE: dict = {}
 
 # driver-side token generator: two DIFFERENT transition tables must never
@@ -1130,9 +1165,13 @@ def edge_dijkstra_viterbi_step(
     return out_d, out_o
 
 
-def _viterbi_full_one(pdf: pd.DataFrame, trans_by_variant: dict) -> pd.DataFrame:
+def _viterbi_full_one(
+    pdf: pd.DataFrame, trans_by_variant: dict, debug: bool = False
+) -> pd.DataFrame:
     """Layered min-plus DP over directed-edge candidate states; ties
-    break toward the smaller state id (rows pre-sorted)."""
+    break toward the smaller state id (rows pre-sorted). With ``debug``,
+    emits every candidate state per layer (DP cost + chosen flag)
+    instead of the winners only."""
     fpr = pdf["fingerprint"].iloc[0]
     variant = int(pdf["variant"].iloc[0])
     csr = _vf_csr(trans_by_variant, variant)
@@ -1166,6 +1205,28 @@ def _viterbi_full_one(pdf: pd.DataFrame, trans_by_variant: dict) -> pd.DataFrame
     choice[-1] = int(np.argmin(dp_cost[-1]))
     for li in range(len(layers) - 1, 0, -1):
         choice[li - 1] = dp_prev[li][choice[li]]
+
+    if debug:
+        # -T surface: EVERY candidate state per layer with its DP cost
+        # and whether the backtrack chose it (app.cpp:206-224)
+        out = []
+        for li, lay in enumerate(layers):
+            for i in range(len(lay)):
+                r = lay.iloc[i]
+                out.append(
+                    (
+                        fpr, int(r["seq"]), int(r["state"]), int(r["edge_id"]),
+                        float(r["emission"]), float(dp_cost[li][i]),
+                        bool(i == int(choice[li])),
+                    )
+                )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "fingerprint", "seq", "state_edge", "edge_id",
+                "emission", "acc_cost", "chosen",
+            ],
+        )
 
     out = []
     for li, lay in enumerate(layers):

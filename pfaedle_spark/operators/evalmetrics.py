@@ -31,23 +31,27 @@ def frechet_eval(aligned_xy: DataFrame, truth_xy: DataFrame) -> DataFrame:
     """Per-trip d_f between matched node path and ground-truth path.
 
     Inputs: (trip_id, seq, x, y) for both sides. Output:
-    (trip_id, n_pts, d_f, acc_d_f, unmatched)."""
+    (trip_id, n_pts, d_f, acc_d_f, unmatched, len_m) — len_m is the
+    matched polyline's length, the weight of the A_L/L share
+    (``collector::get_da``, collector.cpp:443-462 sums
+    ``util::geo::len(a[i])`` for unmatched segments)."""
     a = aligned_xy.select("trip_id", "seq", "x", "y").withColumn("side", F.lit(0))
     b = truth_xy.select("trip_id", "seq", "x", "y").withColumn("side", F.lit(1))
     both = a.unionByName(b)
+
+    cols = ["trip_id", "n_pts", "d_f", "acc_d_f", "unmatched", "len_m"]
 
     def per_trip(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["side", "seq"])
         ga = pdf[pdf["side"] == 0]
         gb = pdf[pdf["side"] == 1]
         if len(ga) < 2 or len(gb) < 2:
-            return pd.DataFrame(
-                columns=["trip_id", "n_pts", "d_f", "acc_d_f", "unmatched"]
-            )
+            return pd.DataFrame(columns=cols)
         ax, ay = ga["x"].to_numpy(float), ga["y"].to_numpy(float)
         bx, by = gb["x"].to_numpy(float), gb["y"].to_numpy(float)
         df_ = frechet_dist(ax, ay, bx, by)
         adf = acc_frechet_dist(ax, ay, bx, by)
+        length = float(np.hypot(np.diff(ax), np.diff(ay)).sum())
         return pd.DataFrame(
             [
                 (
@@ -56,9 +60,10 @@ def frechet_eval(aligned_xy: DataFrame, truth_xy: DataFrame) -> DataFrame:
                     float(df_),
                     float(adf),
                     bool(df_ >= UNMATCHED_DF),
+                    length,
                 )
             ],
-            columns=["trip_id", "n_pts", "d_f", "acc_d_f", "unmatched"],
+            columns=cols,
         )
 
     n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
@@ -67,9 +72,51 @@ def frechet_eval(aligned_xy: DataFrame, truth_xy: DataFrame) -> DataFrame:
         .groupBy("trip_id")
         .applyInPandas(
             per_trip,
-            schema="trip_id string, n_pts long, d_f double, acc_d_f double, unmatched boolean",
+            schema=(
+                "trip_id string, n_pts long, d_f double, acc_d_f double, "
+                "unmatched boolean, len_m double"
+            ),
         )
     )
+
+
+# ONE dialect-neutral aggregate over the per-trip table — Spark
+# (F.expr per column) and DuckDB evaluate the same strings, so the
+# global-share derivation is bit-checkable even though d_f itself is a
+# py-ref kernel (collector::print_stats, collector.cpp:389-439).
+EVAL_SUMMARY_EXPRS: list[tuple[str, str]] = [
+    ("n_trips", "COUNT(*)"),
+    ("n_unmatched", "SUM(CASE WHEN unmatched THEN 1 ELSE 0 END)"),
+    ("an_share",
+     "CAST(SUM(CASE WHEN unmatched THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"),
+    ("total_len", "SUM(len_m)"),
+    ("unmatched_len", "SUM(CASE WHEN unmatched THEN len_m ELSE 0.0 END)"),
+    ("al_share",
+     "SUM(CASE WHEN unmatched THEN len_m ELSE 0.0 END) / SUM(len_m)"),
+    ("avg_d_f", "AVG(d_f)"),
+    ("min_d_f", "MIN(d_f)"),
+    ("max_d_f", "MAX(d_f)"),
+]
+
+
+def eval_summary(evaled: DataFrame) -> DataFrame:
+    """A6 global summary row: trip counts, unmatched share A_N/N, the
+    length-weighted unmatched share A_L/L, and the d_f spread — the
+    reference's printed evaluation block (collector.cpp:389-439)."""
+    return evaled.agg(
+        *[F.expr(sql).cast("double" if name.endswith(("share", "len", "d_f")) else "long").alias(name)
+          for name, sql in EVAL_SUMMARY_EXPRS]
+    )
+
+
+def eval_summary_sql(per_trip_rel: str) -> str:
+    """The identical aggregate as DuckDB SQL over a registered per-trip
+    relation (tests register the engine's own per-trip rows)."""
+    cols = ",\n       ".join(
+        f"CAST({sql} AS {'DOUBLE' if name.endswith(('share', 'len', 'd_f')) else 'BIGINT'}) AS {name}"
+        for name, sql in EVAL_SUMMARY_EXPRS
+    )
+    return f"SELECT {cols}\nFROM {per_trip_rel}"
 
 
 def df_histogram(evaled: DataFrame) -> DataFrame:

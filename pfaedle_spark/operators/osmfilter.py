@@ -266,6 +266,74 @@ FROM way_tags ORDER BY way_id
 """
 
 
+def edge_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — ``osm_builder::write_edge_tracks`` (osm_builder.cpp:185 +
+    1631-1646): the way's track tag (osm_edge_track_number_tags,
+    normalized through the track chain) propagates to the way's edge's
+    endpoint STATION nodes; each node keeps one track. The reference
+    writes first-wins over unordered-map iteration (unspecified order);
+    here the node deterministically keeps the min-way_id incident tagged
+    edge's track — order-independent, so it is cluster-safe.
+
+    Output: (node_id, track, way_id). Scale: tagged ways join edges on
+    the id (hash equi-join), endpoints explode 2x, station filter is a
+    broadcast semi-join, argmin is one window — one shuffle total.
+    """
+    from pyspark.sql import Window
+
+    from .. import datagen
+
+    cfg = MC.load("rail")
+    wt = way_tags(datagen.documents(spark, sf_dir))
+    tagged = wt.filter(F.col("t_local_ref").isNotNull()).select(
+        "way_id",
+        MC.norm_col(cfg.chains["track_normalize_chain"], F.col("t_local_ref")).alias(
+            "track"
+        ),
+    ).filter(F.length("track") > 0)
+    eds = datagen.edges(spark).select("edge_id", "src", "dst")
+    je = tagged.join(eds, tagged.way_id == eds.edge_id).select(
+        "way_id", "track", "src", "dst"
+    )
+    ends = je.select(
+        "way_id", "track", F.explode(F.array("src", "dst")).alias("node_id")
+    )
+    st = datagen.nodes(spark).filter("is_station").select("node_id")
+    w = Window.partitionBy("node_id").orderBy("way_id")
+    return (
+        ends.join(st, "node_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("node_id", "track", "way_id")
+    )
+
+
+def edge_tracks_sql() -> str:
+    from .. import sqlgen
+
+    cfg = MC.load("rail")
+    norm = MC.norm_sql(cfg.chains["track_normalize_chain"], "t_local_ref")
+    return f"""{sqlgen.with_ctes("nodes", "edges")},
+{way_tags_cte()},
+tagged AS (
+  SELECT way_id, {norm} AS track FROM way_tags
+  WHERE t_local_ref IS NOT NULL
+),
+je AS (
+  SELECT t.way_id, t.track, e.src, e.dst
+  FROM tagged t JOIN edges e ON e.edge_id = t.way_id
+  WHERE LENGTH(t.track) > 0
+)
+SELECT node_id, track, way_id FROM (
+  SELECT x.node_id, x.track, x.way_id,
+         ROW_NUMBER() OVER (PARTITION BY x.node_id ORDER BY x.way_id) AS rk
+  FROM (SELECT way_id, track, src AS node_id FROM je
+        UNION ALL SELECT way_id, track, dst FROM je) x
+  JOIN (SELECT node_id FROM nodes WHERE is_station) s USING (node_id)
+) WHERE rk = 1
+"""
+
+
 def line_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 — osm_line_relation_tags: first non-empty normalized value per
     priority list (line via line chain, from/to via station chain), plus

@@ -277,7 +277,11 @@ _ALIGN_SCHEMA = (
 )
 
 
-def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame:
+def viterbi_align(
+    candidates: DataFrame,
+    edges_directed: DataFrame,
+    level_punish: bool = True,
+) -> DataFrame:
     """R7: per-trip global optimum over candidate layers.
 
     emission(cand)   = dist * CAND_PEN_FAC   (A5, station_group.cpp:56-93)
@@ -294,7 +298,7 @@ def viterbi_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame
     bc = edges_broadcast(spark, edges_directed)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _viterbi_one_trip(pdf, csr_for_broadcast(bc))
+        return _viterbi_one_trip(pdf, csr_for_broadcast(bc, level_punish=level_punish))
 
     cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
     # explicit hash repartition by the group key: AQE's byte-based
@@ -365,17 +369,24 @@ def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict) -> pd.DataFrame:
     )
 
 
-def greedy2_align(candidates: DataFrame, edges_directed: DataFrame) -> DataFrame:
+def greedy2_align(
+    candidates: DataFrame,
+    edges_directed: DataFrame,
+    level_punish: bool = True,
+) -> DataFrame:
     """R8 routeGreedy2 (``router.cpp:352-398``): chain from the previous
     chosen candidate — layer 0 takes its min-emission candidate, each
     later layer takes argmin(transition from previous choice + emission).
     Cheaper than the global solve (one Dijkstra per layer), same output
-    schema as viterbi_align minus acc optimality."""
+    schema as viterbi_align minus acc optimality.
+
+    ``level_punish=False`` makes edge cost = raw length, the variant the
+    closed-form Manhattan SQL oracle checks (greedy2_manhattan)."""
     spark = candidates.sparkSession
     bc = edges_broadcast(spark, edges_directed)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        csr = csr_for_broadcast(bc)
+        csr = csr_for_broadcast(bc, level_punish=level_punish)
         pdf = pdf.sort_values(["seq", "edge_id"], ignore_index=True)
         seqs = sorted(pdf["seq"].unique())
         layers = [pdf[pdf["seq"] == s].reset_index(drop=True) for s in seqs]

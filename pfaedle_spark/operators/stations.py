@@ -128,44 +128,82 @@ GROUP BY s.node_id, s.attr_val
 # A5 — candidate penalties
 # --------------------------------------------------------------------
 
-def candidate_penalties(snapped: DataFrame) -> DataFrame:
-    """Penalty per (stop, node) snap candidate (station_group.cpp:56-93).
+def candidate_penalties(snapped: DataFrame, node_tracks: DataFrame) -> DataFrame:
+    """Penalty per (stop, node) snap candidate (station_group.cpp:56-93):
+    pen = dist*distPenFac + trackPen + nonOsmPen, where trackPen drops
+    to 0 ONLY when the stop's normalized platform_code and the node's
+    track are both non-empty and equal (the reference's condition,
+    :67-73), and nonOsmPen drops for OSM-sourced nodes.
 
-    track match: synthetic stop track = true_node track (node_id%4) for
-    most stops; mismatch where stop_id digit sum is odd-ish; fromOsm
-    derived from node parity."""
+    ``node_tracks`` is the G10 provenance table (osmfilter.edge_tracks:
+    way track tags propagated to endpoint station nodes) — the node
+    track comes from REAL tag provenance, not a parity synthetic. The
+    stop platform is the synthetic feed's platform_code (stopnum %
+    TRACK_MOD) run through the cfg track normalizer chain, exactly as
+    ``norm.norm(s->platform_code)`` does."""
+    from .. import motconfig as MC
+
+    cfg = MC.load("rail")
     stop_no = F.regexp_extract("stop_id", r"(\d+)", 1).cast("long")
-    stop_track = (stop_no % TRACK_MOD).cast("int")
-    node_track = ((F.col("node_id") + (stop_no % 3 == 1).cast("int")) % TRACK_MOD).cast("int")
+    platform = MC.norm_col(
+        cfg.chains["track_normalize_chain"],
+        (stop_no % TRACK_MOD).cast("string"),
+    )
     from_osm = F.col("node_id") % 2 == 0
-    return snapped.select(
+    j = snapped.join(
+        F.broadcast(node_tracks.select("node_id", F.col("track").alias("node_track"))),
+        "node_id",
+        "left",
+    )
+    track_match = (
+        (F.length(platform) > 0)
+        & F.col("node_track").isNotNull()
+        & (F.col("node_track") == platform)
+    )
+    return j.select(
         "stop_id",
         "node_id",
         "dist",
-        stop_track.alias("stop_track"),
-        node_track.alias("node_track"),
+        platform.alias("stop_track"),
+        "node_track",
         from_osm.alias("from_osm"),
         (
             F.col("dist") * C.CAND_PEN_FAC
-            + F.when(stop_track != node_track, TRACK_PEN).otherwise(0.0)
+            + F.when(track_match, 0.0).otherwise(TRACK_PEN)
             + F.when(from_osm, 0.0).otherwise(NON_OSM_PEN)
         ).alias("penalty"),
     )
 
 
 def candidate_penalties_sql(snap_cte_sql: str) -> str:
-    """Builds on the snap oracle (rewritten as a CTE ``snapped``)."""
-    st = f"(CAST(REGEXP_EXTRACT(stop_id, '(\\d+)', 1) AS BIGINT) % {TRACK_MOD})"
-    nt = f"((node_id + CASE WHEN CAST(REGEXP_EXTRACT(stop_id, '(\\d+)', 1) AS BIGINT) % 3 = 1 THEN 1 ELSE 0 END) % {TRACK_MOD})"
-    return f"""{snap_cte_sql}
-SELECT stop_id, node_id, dist,
-       CAST({st} AS INT) AS stop_track,
-       CAST({nt} AS INT) AS node_track,
-       node_id % 2 = 0 AS from_osm,
+    """Builds on the snap oracle (rewritten as a CTE ``snapped``) and the
+    G10 edge_tracks provenance (as a ``ntracks`` CTE)."""
+    from .. import motconfig as MC
+    from . import osmfilter
+
+    cfg = MC.load("rail")
+    stopnum = "CAST(REGEXP_EXTRACT(stop_id, '(\\d+)', 1) AS BIGINT)"
+    platform = MC.norm_sql(
+        cfg.chains["track_normalize_chain"],
+        f"CAST({stopnum} % {TRACK_MOD} AS VARCHAR)",
+    )
+    match = (
+        f"(LENGTH({platform}) > 0 AND t.track IS NOT NULL"
+        f" AND t.track = {platform})"
+    )
+    return f"""{snap_cte_sql},
+ntracks AS (
+{osmfilter.edge_tracks_sql()}
+)
+SELECT stop_id, s.node_id AS node_id, dist,
+       {platform} AS stop_track,
+       t.track AS node_track,
+       s.node_id % 2 = 0 AS from_osm,
        dist * {C.CAND_PEN_FAC}
-         + CASE WHEN {st} <> {nt} THEN {TRACK_PEN} ELSE 0.0 END
-         + CASE WHEN node_id % 2 = 0 THEN 0.0 ELSE {NON_OSM_PEN} END AS penalty
-FROM snapped
+         + CASE WHEN {match} THEN 0.0 ELSE {TRACK_PEN} END
+         + CASE WHEN s.node_id % 2 = 0 THEN 0.0 ELSE {NON_OSM_PEN} END AS penalty
+FROM snapped s
+LEFT JOIN ntracks t ON t.node_id = s.node_id
 """
 
 

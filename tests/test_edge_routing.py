@@ -475,3 +475,44 @@ def test_hop_band_semantics(spark):
     assert b[1] == u[1] == 10000.0
     assert u[5] == 50000.0
     assert 5 not in b  # beyond the band => inf, as the reference prunes
+
+
+def test_trip_debug_agrees_with_viterbi_full(spark, tmp_path):
+    """-T debug layers: the chosen=true rows reproduce viterbi_full's
+    (seq, state, cost) for the trip exactly; every layer exposes all its
+    candidate states; the GeoJSON dump round-trips."""
+    import json
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR
+    from pfaedle_spark import datagen
+    from pfaedle_spark.sources.osm import geojson_sink
+
+    dbg = entrymod.queries()["trip_debug"](spark, SF_DIR).toPandas()
+    assert len(dbg) > 0
+    full = (
+        entrymod.queries()["viterbi_full"](spark, SF_DIR)
+        .filter("trip_id = 'trip_3'")
+        .toPandas()
+        .sort_values("seq", ignore_index=True)
+    )
+    chosen = dbg[dbg["chosen"]].sort_values("seq", ignore_index=True)
+    assert list(chosen["seq"]) == list(full["seq"])
+    assert list(chosen["state_edge"]) == list(full["state_edge"])
+    assert np.allclose(chosen["acc_cost"], full["acc_cost"], rtol=1e-12)
+    # every layer carries >1 state (fwd+rev per candidate edge)
+    per_layer = dbg.groupby("seq").size()
+    assert (per_layer >= 2).all()
+    # exactly one chosen state per layer
+    assert (dbg.groupby("seq")["chosen"].sum() == 1).all()
+
+    # GeoJSON dump of the chosen states' candidate nodes
+    nodes = datagen.nodes(spark)
+    chosen_df = spark.createDataFrame(chosen[["seq", "edge_id", "acc_cost"]])
+    eds = datagen.edges(spark).select("edge_id", "x1", "y1")
+    pts = chosen_df.join(eds, "edge_id").select(
+        "seq", "edge_id", "acc_cost", F.col("x1").alias("x"), F.col("y1").alias("y")
+    )
+    out = geojson_sink(pts, props=["seq", "edge_id", "acc_cost"])
+    gj = json.loads(out)
+    assert gj["type"] == "FeatureCollection" and len(gj["features"]) == len(chosen)

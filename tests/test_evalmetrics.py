@@ -92,3 +92,37 @@ def test_segmentize_positions_monotone(spark):
         # ordered projectOnAfter: positions never go backwards
         for a, b in zip(rs, rs[1:]):
             assert b.start_pos >= a.start_pos - 1e-9
+
+
+def test_eval_summary_matches_duckdb_aggregate(spark, tmp_path):
+    """A6 global shares (A_N/N, A_L/L, collector.cpp:389-439): the
+    summary aggregate is ONE dialect-neutral SQL string — DuckDB runs it
+    over the engine's own per-trip rows and every value must match."""
+    import duckdb
+
+    per_trip = entrymod.queries()["frechet_eval"](spark, SF_DIR)
+    pdf = per_trip.toPandas()
+    assert len(pdf) > 0 and pdf["len_m"].gt(0).all()
+    got = evalmetrics.eval_summary(per_trip).toPandas()
+    con = duckdb.connect()
+    con.register("per_trip", pdf)
+    want = con.execute(evalmetrics.eval_summary_sql("per_trip")).fetchdf()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert np.allclose(
+            got[c].astype(float), want[c].astype(float), rtol=1e-12
+        ), c
+    # shares are true ratios
+    row = got.iloc[0]
+    assert 0.0 <= row["an_share"] <= 1.0 and 0.0 <= row["al_share"] <= 1.0
+    assert row["unmatched_len"] <= row["total_len"]
+
+    # S7 sink round-trip: the d_f histogram lands as a CSV
+    from pfaedle_spark.sources.osm import eval_csv_sink
+
+    out = str(tmp_path / "eval-frechet.csv")
+    eval_csv_sink(per_trip, "d_f", evalmetrics.DF_BINS, out)
+    import pandas as pd
+
+    hist = pd.read_csv(out)
+    assert hist["n"].sum() <= len(pdf)  # > max(bin) rows fall outside
