@@ -126,3 +126,34 @@ def test_eval_summary_matches_duckdb_aggregate(spark, tmp_path):
 
     hist = pd.read_csv(out)
     assert hist["n"].sum() <= len(pdf)  # > max(bin) rows fall outside
+
+
+def test_df_histogram_matches_duckdb_aggregate(spark):
+    """The d_f histogram aggregate (bins + unmatched counts) re-checked
+    by DuckDB over the engine's own per-trip rows — same CASE-chain
+    binning, same grouping."""
+    import duckdb
+
+    per_trip = entrymod.queries()["frechet_eval"](spark, SF_DIR)
+    pdf = per_trip.toPandas()
+    got = (
+        evalmetrics.df_histogram(per_trip)
+        .toPandas()
+        .sort_values("bin", ignore_index=True)
+    )
+    case = "CASE "
+    for e in evalmetrics.DF_BINS:
+        case += f"WHEN d_f <= {e!r} THEN {float(e)!r} "
+    case += "ELSE NULL END"
+    con = duckdb.connect()
+    con.register("per_trip", pdf)
+    want = con.execute(
+        f"""SELECT {case} AS bin, COUNT(*) AS n,
+                   SUM(CASE WHEN unmatched THEN 1 ELSE 0 END) AS n_unmatched
+            FROM per_trip GROUP BY 1 ORDER BY bin"""
+    ).fetchdf()
+    assert len(got) == len(want)
+    g = got.fillna(-1.0)
+    w = want.fillna(-1.0)
+    for c in ["bin", "n", "n_unmatched"]:
+        assert np.allclose(g[c].astype(float), w[c].astype(float)), c

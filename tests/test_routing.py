@@ -165,3 +165,28 @@ def test_astar_parity_and_pruning(spark):
     capped_a = routing.astar(csr, src, far | near, max_cost=full[1] + 1.0)
     assert capped_a.get(1) == pytest.approx(full[1])
     assert (n - 1) not in capped_a
+
+
+def test_heuristic_admissibility_gate_pure():
+    """A* heuristic coords are attached only when every arc cost >=
+    straight-line displacement; a config/data combination violating that
+    must degrade to plain (exact) Dijkstra rather than return wrong
+    shortest paths. Pure numpy — no Spark session."""
+    import pandas as pd
+
+    from pfaedle_spark.operators.routing import build_csr
+
+    base = dict(level=[0, 0], oneway=[False, False])
+    ok = pd.DataFrame(
+        dict(
+            src=[0, 1], dst=[1, 2], length=[100.0, 100.0],
+            x1=[0.0, 100.0], y1=[0.0, 0.0], x2=[100.0, 200.0], y2=[0.0, 0.0],
+            **base,
+        )
+    )
+    csr = build_csr(ok, level_punish=False)
+    assert "xy" in csr  # admissible: cost == displacement
+
+    bad = ok.assign(length=[1.0, 100.0])  # arc cheaper than its span
+    csr2 = build_csr(bad, level_punish=False)
+    assert "xy" not in csr2  # heuristic dropped -> plain Dijkstra
