@@ -93,3 +93,35 @@ def run_available_now(out_df: DataFrame, checkpoint_dir: str, mode: str = "appen
     )
     q.awaitTermination()
     return acc
+
+
+def stream_candidates(spark: SparkSession, src_dir: str, edges: DataFrame) -> DataFrame:
+    """Streaming J5 — the core candidate spatial join on a LIVE stream of
+    observation points: stream-static equi-join on the grid cell id.
+
+    The static side (edge cells) is graph-sized and broadcast-able; the
+    stream side explodes each arriving point to its padded cells exactly
+    like the batch path (``cells.point_cells``), and the radius filter is
+    the same map-side segment-distance predicate (``DIST_EXPR``). The
+    whole operator is STATELESS — no state store, no watermark needed —
+    so it scales to any arrival rate; the per-observation top-k rank is
+    deliberately left to the (stateful or batch) consumer, mirroring how
+    the reference separates candidate generation from selection
+    (``osm_builder.cpp`` grid query vs ``router.cpp`` selection).
+
+    Batch/stream parity is asserted in tests/test_streaming.py: an
+    ``availableNow`` drain over a static directory must emit exactly the
+    batch cell join's candidate set.
+    """
+    from ..operators import cells
+    from ..operators.candidates import DIST_EXPR
+
+    pts = event_points(spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir))
+    pc = cells.point_cells(pts.select("event_id", "x", "y"), C.SNAP_RADIUS)
+    ec = cells.edge_cells(edges)
+    j = pc.join(ec, "cell_id")
+    return (
+        j.withColumn("dist", F.expr(DIST_EXPR))
+        .filter(F.col("dist") <= C.SNAP_RADIUS)
+        .select("event_id", "edge_id", "dist", "cell_id")
+    )

@@ -89,3 +89,31 @@ def test_stateful_stream_dedup_matches_batch(spark, tmp_path):
     assert final == want
     # planted duplicates must actually exercise the state (n > 1 keys)
     assert any(n > 1 for _, n in final.values())
+
+
+def test_stream_candidates_matches_batch(spark, tmp_path):
+    """Streaming J5 (stream-static cell join) == the batch candidate
+    join's pre-rank set on the same input: same (event, edge) pairs,
+    same distances."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import cells as cl
+    from pfaedle_spark.operators.candidates import DIST_EXPR
+    from pfaedle_spark import constants as C
+
+    src = _stage_events(spark, tmp_path)
+    eds = datagen.edges(spark)
+    stream = st.stream_candidates(spark, src, eds)
+    assert stream.isStreaming
+    rows = st.run_available_now(stream, str(tmp_path / "cp_cand"))
+    got = {(r.event_id, r.edge_id, round(r.dist, 9)) for r in rows}
+
+    pts = st.event_points(spark.read.parquet(src))
+    pc = cl.point_cells(pts.select("event_id", "x", "y"), C.SNAP_RADIUS)
+    ec = cl.edge_cells(eds)
+    batch = (
+        pc.join(ec, "cell_id")
+        .withColumn("dist", F.expr(DIST_EXPR))
+        .filter(F.col("dist") <= C.SNAP_RADIUS)
+    )
+    want = {(r.event_id, r.edge_id, round(r.dist, 9)) for r in batch.collect()}
+    assert got == want and len(got) > 0
