@@ -499,7 +499,12 @@ def _q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal payload ops (input_hint image table) ------------------
 
 def _q_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return datagen.images(spark, sf_dir).select(
+    """Reads through the Iceberg-first source (sources/iceberg.py): the
+    catalog path on a cluster, the identical parquet-derived contract
+    here."""
+    from pfaedle_spark.sources import iceberg as ice
+
+    return ice.read_images(spark, sf_dir).select(
         "image_id", "w", "h", "fmt", "caption", "phash"
     )
 

@@ -106,15 +106,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
                 ),
             )
         )
-        doubled = doubled.localCheckpoint(eager=True)
-        # fixpoint probe: isEmpty short-circuits on the first changed row
-        # (the common mid-iteration case), unlike a full count() job
-        unchanged = (
-            doubled.join(labels, "node_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .isEmpty()
+        # carry the changed flag THROUGH the materialization: the probe
+        # then scans the checkpointed partitions directly instead of
+        # re-joining against the previous labels (one join per round
+        # saved; isEmpty still short-circuits on the first changed row)
+        doubled = doubled.join(
+            labels.select("node_id", F.col("label").alias("prev")), "node_id"
+        ).select(
+            "node_id", "new_label", (F.col("new_label") != F.col("prev")).alias("changed")
         )
-        labels = doubled.withColumnRenamed("new_label", "label")
+        doubled = doubled.localCheckpoint(eager=True)
+        unchanged = doubled.filter("changed").isEmpty()
+        labels = doubled.select("node_id", F.col("new_label").alias("label"))
         if unchanged:
             break
     return labels

@@ -69,3 +69,45 @@ def test_grouped_dp_keeps_explicit_partitioning(spark):
     plan = plan_of(_q("viterbi_align", spark))
     assert "FlatMapGroupsInPandas" in plan
     assert "hashpartitioning(trip_id" in plan
+
+
+def test_lifecycle_candidates_broadcast_composed_graph(spark):
+    """In the composed lifecycle the candidate join's edge side is the
+    POST-collapse graph — still geography-sized, so it must broadcast
+    exactly like the datagen edge side does."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import candidates
+    from pfaedle_spark.plans.lifecycle import composed_graph
+
+    _, edges_f, _ = composed_graph(spark)
+    cand = candidates.candidate_edges(datagen.points(spark, SF_DIR), edges_f)
+    plan = plan_of(cand)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_new_relational_queries_stay_jvm_side(spark):
+    """Round-3 additions keep the no-Python-in-relational-paths rule."""
+    for name in ["edge_tracks", "candidate_penalties", "lifecycle_graph",
+                 "greedy2_manhattan"]:
+        plan = plan_of(_q(name, spark))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "PythonUDF" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_stream_candidates_is_stateless(spark, tmp_path):
+    """The streaming J5 join must not register a state store: a
+    stream-static equi-join is stateless, so the plan carries no
+    StateStore operator (unbounded arrival rate, no watermark needed)."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.streaming import stream_tiles as st
+
+    src = str(tmp_path / "ev_src")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(src)
+    stream = st.stream_candidates(spark, src, datagen.edges(spark))
+    rows = st.run_available_now(stream, str(tmp_path / "cp_plan"))
+    assert rows  # drained fine without any state store directory
+    import os
+
+    state_dir = os.path.join(str(tmp_path / "cp_plan"), "state")
+    assert not os.path.exists(state_dir), "stateless join created a state store"

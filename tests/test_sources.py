@@ -88,3 +88,21 @@ def test_geojson_and_eval_sinks(spark, tmp_path):
     osm.eval_csv_sink(df, "d_f", [10.0, 50.0, 100.0], out)
     lines = open(out).read().strip().splitlines()
     assert lines[0] == "bin,n" and len(lines) == 4
+
+
+def test_iceberg_source_fallback_contract(spark):
+    """Iceberg-first image scan: with no catalog configured the parquet
+    fallback serves the IDENTICAL (image_id, bytes, w, h, fmt, caption,
+    phash) contract; catalog detection reads the session conf."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.sources import iceberg as ice
+
+    assert ice.iceberg_catalogs(spark) == []  # no runtime jar here
+    df = ice.read_images(spark, SF_DIR)
+    assert [f.name for f in df.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+    want = datagen.with_bytes(datagen.images(spark, SF_DIR))
+    assert df.count() == want.count() > 0
+    # the DDL the cluster deployment creates the table with
+    assert "bucket(256, phash)" in ice.IMAGES_DDL and "USING iceberg" in ice.IMAGES_DDL
