@@ -555,7 +555,7 @@ _PRIORITY = [
     "edge_tracks", "candidate_penalties", "lifecycle_graph",
     "greedy2_manhattan", "viterbi_manhattan",
     "snap_splits", "collapse_edges", "collapse_geoms",
-    "turn_transitions", "restricted_paths",
+    "turn_transitions", "restricted_paths", "restricted_paths_cogrouped",
 ]
 
 
@@ -612,6 +612,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restrictions": _q_restrictions,
         "turn_transitions": _q_turn_transitions,
         "restricted_paths": _q_restricted_paths,
+        "restricted_paths_cogrouped": _q_restricted_paths_cogrouped,
         "line_similarity": _q_line_similarity,
         "trip_clusters": _q_trip_clusters,
         "viterbi_full": _q_viterbi_full,
@@ -650,6 +651,12 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_chains": osmfilter.normalize_chains,
         "line_first_match": osmfilter.line_first_match,
     }
+
+
+def _q_restricted_paths_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-free restricted routing (component-cogrouped transition
+    subgraphs) — same semantics and oracle as restricted_paths."""
+    return edge_routing.restricted_paths_cogrouped(spark)
 
 
 def _q_greedy2_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,6 +954,7 @@ edges_pruned AS (
         "restrictions": gtfs_ops.restrictions_sql(),
         "turn_transitions": edge_routing.turn_transitions_sql(),
         "restricted_paths": edge_routing.restricted_paths_sql(),
+        "restricted_paths_cogrouped": edge_routing.restricted_paths_sql(),
         "line_similarity": edge_routing.transitions_ctes()
         + " SELECT edge_id, cmp FROM ecmp",
         "trip_clusters": edge_routing.trip_clusters_sql(),

@@ -780,6 +780,70 @@ def restricted_paths(spark: SparkSession) -> DataFrame:
     )
 
 
+def restricted_paths_cogrouped(
+    spark: SparkSession, n_buckets: int = 4
+) -> DataFrame:
+    """:func:`restricted_paths` WITHOUT the driver-side transitions
+    collect — the broadcast-free continental fallback for the FULL R3
+    cost model (the edge-state twin of routing.hop_shortest_paths_
+    cogrouped): source states and the transitions table are cogrouped
+    on the via-node component label, so each task receives exactly its
+    component's transition subgraph through the shuffle. Bucket salting
+    replicates the (graph-side) transitions n_buckets x so one
+    component does not collapse to one task.
+
+    Output, semantics and the driver oracle are identical to
+    restricted_paths; only the physical plan differs.
+    """
+    from .. import datagen
+
+    edges = _sub_edges(spark)
+    restr = gtfs_ops.read_restrictions(gtfs_ops.restriction_members(spark, edges))
+    nodes = datagen.nodes(spark)
+    trans = turn_transitions(edges, restr, nodes)
+    comp = nodes.select("node_id", "component")
+    trans_c = (
+        trans.join(comp.withColumnRenamed("node_id", "via_node"), "via_node")
+        .withColumn("bucket", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))))
+    )
+    de = directed_full(edges)
+    sources = (
+        de.filter(F.col("src").isin(SOURCE_NODES))
+        .select(F.col("edge_id").alias("from_edge"), F.col("src").alias("src_node"))
+        .join(comp.withColumnRenamed("node_id", "src_node"), "src_node")
+        .withColumn("bucket", F.pmod(F.hash("from_edge"), F.lit(n_buckets)))
+    )
+    targets = [
+        (int(r["edge_id"]), int(r["dst"]))
+        for r in de.filter(F.col("dst").isin(TARGET_NODES))
+        .select("edge_id", "dst")
+        .collect()
+    ]  # target STATES are query constants (tiny), not graph data
+    tgt_states = sorted(t for t, _ in targets)
+    tgt_nodes = dict(targets)
+
+    def solve(src_pdf: pd.DataFrame, trans_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["from_edge", "src_node", "to_edge", "dst_node", "path_cost"]
+        out = []
+        if len(src_pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        csr = build_edge_csr(trans_pdf) if len(trans_pdf) else None
+        for fe, sn in zip(src_pdf["from_edge"], src_pdf["src_node"]):
+            d = edge_dijkstra(csr, int(fe), tgt_states) if csr else {}
+            for t in tgt_states:
+                out.append((int(fe), int(sn), t, tgt_nodes[t], d.get(t)))
+        return pd.DataFrame(out, columns=cols)
+
+    return (
+        sources.groupBy("component", "bucket")
+        .cogroup(trans_c.groupBy("component", "bucket"))
+        .applyInPandas(
+            solve,
+            schema="from_edge long, src_node long, to_edge long, dst_node long, path_cost double",
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # A1 trip clustering + R7 full-cost Viterbi over edge states
 # --------------------------------------------------------------------
