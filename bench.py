@@ -57,10 +57,12 @@ def main() -> None:
         try:
             t = materialize(spark, fn, sf_dir)
             trials[name] = [round(t, 3)]
-            if t > 5.0:
-                # single shots on this VM swing 30%+ with host CPU
-                # steal; re-measure the slow ones and keep the min so
-                # the recorded number reflects the engine, not the host.
+            if t > 3.0:
+                # single shots on this VM swing 30%+ with host CPU steal
+                # and first-touch codegen compiles; re-measure the slow
+                # ones and keep the min so the recorded number reflects
+                # the engine, not the host (threshold 3 s: measured 14 s
+                # one-shots on queries that are 1.2 s warm).
                 # ALL trials are recorded under "trials" so the min-of-N
                 # protocol is visible in the artifact, not hidden.
                 t2 = materialize(spark, fn, sf_dir)

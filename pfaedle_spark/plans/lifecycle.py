@@ -221,10 +221,14 @@ def checkpointed_lifecycle(
         ),
         inputs=["shapes"],
     )
-    # distributed CSV sink — the feed directory sits next to the
-    # checkpoints; executors write, the driver never collects
+    # distributed CSV sink — the COMPLETE output feed (what `pfaedle -x`
+    # emits: the input feed's tables plus the matched shapes,
+    # app.cpp:286-398); executors write, the driver never collects
     import os
 
-    gtfs.write_table(gtfs_shapes, os.path.join(root, "feed"), "shapes")
+    feed_dir = os.path.join(root, "feed")
+    gtfs.write_table(gtfs_shapes, feed_dir, "shapes")
+    for name, df in gtfs.synthetic_feed(spark, sf_dir).items():
+        gtfs.write_table(df, feed_dir, name)
     _ = comps  # G7 runs for its manifest entry; routing reads the CSRs
     return gtfs_shapes, cp

@@ -68,10 +68,13 @@ def test_lifecycle_checkpoints_and_resumes(spark, tmp_path):
         "snaps", "graph_nodes", "graph_edges", "components",
         "candidates", "viterbi", "shapes", "gtfs_shapes",
     ]
-    # the S5 sink wrote the fixed-name GTFS file, row count matches
+    # the S5 sink wrote the COMPLETE fixed-name GTFS feed; shapes row
+    # count matches the assembled result
     feed = os.path.join(root, "feed", "shapes.txt")
     with open(feed) as f:
         assert sum(1 for _ in f) == n1 + 1  # header
+    for t in ("stops", "trips", "stop_times"):
+        assert os.path.exists(os.path.join(root, "feed", f"{t}.txt")), t
 
     # kill + rerun: everything resumes, nothing recomputes
     shapes2, cp2 = checkpointed_lifecycle(spark, SF_DIR, root)
