@@ -484,6 +484,16 @@ def _q_trip_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_routing.viterbi_trip_debug(cand, tbv, "trip_3")
 
 
+def _q_frechet_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 per-hop d_f (collector::get_da granularity): matched polyline
+    cut at ordered stop projections, each hop compared against its
+    ground-truth segment."""
+    stops = datagen.points(spark, sf_dir).select(
+        "trip_id", F.col("seq").alias("stop_seq"), "x", "y"
+    )
+    return evalmetrics.frechet_hops(_aligned_xy(spark, sf_dir), stops)
+
+
 def _q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 global summary row: A_N/N, length-weighted A_L/L, d_f spread
     (collector::print_stats, collector.cpp:389-439). The d_f kernel is
@@ -542,7 +552,7 @@ def _q_tiles_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROWS_ONLY = [
     "viterbi_align", "simplify_geoms", "viterbi_full", "shape_geoms",
     "greedy2_align", "frechet_eval", "df_histogram", "segmentize",
-    "eval_summary", "trip_debug",
+    "eval_summary", "trip_debug", "frechet_hops",
 ]
 
 
@@ -633,6 +643,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_histogram": _q_df_histogram,
         "segmentize": _q_segmentize,
         "eval_summary": _q_eval_summary,
+        "frechet_hops": _q_frechet_hops,
         "trip_debug": _q_trip_debug,
         "images_meta": _q_images_meta,
         "image_decode_stats": _q_image_decode_stats,

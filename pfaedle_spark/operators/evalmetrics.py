@@ -136,6 +136,118 @@ def df_histogram(evaled: DataFrame) -> DataFrame:
     )
 
 
+def _cut_positions(xs, ys, px_arr, py_arr):
+    """Ordered projectOnAfter positions (PolyLine.h:98-119) of each stop
+    onto the polyline; monotone along the line. Returns (positions,
+    seg_len, cum) — shared by segmentize and the per-hop eval."""
+    seg_dx = np.diff(xs)
+    seg_dy = np.diff(ys)
+    seg_len = np.hypot(seg_dx, seg_dy)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    pos = []
+    start_seg = 0
+    last_pos = 0.0
+    for px, py in zip(px_arr, py_arr):
+        best_d, best_pos, best_seg = np.inf, 0.0, start_seg
+        for si in range(start_seg, len(seg_len)):
+            if seg_len[si] == 0:
+                continue
+            t = ((px - xs[si]) * seg_dx[si] + (py - ys[si]) * seg_dy[si]) / (
+                seg_len[si] ** 2
+            )
+            t = min(1.0, max(0.0, t))
+            qx, qy = xs[si] + t * seg_dx[si], ys[si] + t * seg_dy[si]
+            d = np.hypot(px - qx, py - qy)
+            if d < best_d:
+                best_d, best_pos, best_seg = d, cum[si] + t * seg_len[si], si
+        last_pos = max(best_pos, last_pos)
+        pos.append(last_pos)
+        start_seg = best_seg
+    return pos, seg_len, cum
+
+
+def _sub_polyline(xs, ys, seg_len, cum, a: float, b: float):
+    """The polyline slice between line positions a <= b (interpolated
+    endpoints + interior vertices) — getSegment (PolyLine.h:150-176)."""
+
+    def point_at(p: float):
+        si = int(np.searchsorted(cum, p, side="right")) - 1
+        si = max(0, min(si, len(seg_len) - 1))
+        t = 0.0 if seg_len[si] == 0 else (p - cum[si]) / seg_len[si]
+        return (
+            xs[si] + t * (xs[si + 1] - xs[si]),
+            ys[si] + t * (ys[si + 1] - ys[si]),
+        )
+
+    px = [point_at(a)]
+    inner = np.where((cum > a) & (cum < b))[0]
+    for vi in inner:
+        px.append((float(xs[vi]), float(ys[vi])))
+    px.append(point_at(b))
+    sx = np.array([p[0] for p in px])
+    sy = np.array([p[1] for p in px])
+    return sx, sy
+
+
+def frechet_hops(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
+    """A6 at the reference's real granularity — ``collector::get_da``
+    (collector.cpp:443-462) runs the Fréchet test PER HOP: the matched
+    polyline is cut at the ordered stop projections, each hop's
+    sub-polyline is compared against that hop's ground-truth segment,
+    and a hop is unmatched when d_f >= 20 m; A_N counts unmatched hops,
+    A_L sums their matched-segment lengths.
+
+    Inputs: aligned (trip_id, seq, x, y) polyline vertices; stops
+    (trip_id, stop_seq, x, y). Output one row per hop:
+    (trip_id, hop_seq, d_f, len_m, unmatched)."""
+    a = (
+        aligned_xy.select("trip_id", "seq", "x", "y")
+        .withColumn("side", F.lit(0))
+        .withColumnRenamed("seq", "ord")
+    )
+    s = stops_xy.select(
+        "trip_id", F.col("stop_seq").alias("ord"), "x", "y"
+    ).withColumn("side", F.lit(1))
+    both = a.unionByName(s)
+
+    cols = ["trip_id", "hop_seq", "d_f", "len_m", "unmatched"]
+
+    def per_trip(pdf: pd.DataFrame) -> pd.DataFrame:
+        line = pdf[pdf["side"] == 0].sort_values("ord")
+        stops = pdf[pdf["side"] == 1].sort_values("ord")
+        if len(line) < 2 or len(stops) < 2:
+            return pd.DataFrame(columns=cols)
+        xs, ys = line["x"].to_numpy(float), line["y"].to_numpy(float)
+        spx = stops["x"].to_numpy(float)
+        spy = stops["y"].to_numpy(float)
+        pos, seg_len, cum = _cut_positions(xs, ys, spx, spy)
+        rows = []
+        for i in range(len(pos) - 1):
+            sx, sy = _sub_polyline(xs, ys, seg_len, cum, pos[i], pos[i + 1])
+            # truth hop: the straight segment between consecutive stops
+            tx = np.array([spx[i], spx[i + 1]])
+            ty = np.array([spy[i], spy[i + 1]])
+            df_ = float(frechet_dist(sx, sy, tx, ty))
+            ln = float(np.hypot(np.diff(sx), np.diff(sy)).sum())
+            rows.append(
+                (pdf["trip_id"].iloc[0], i, df_, ln, bool(df_ >= UNMATCHED_DF))
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        both.repartition(n_part, "trip_id")
+        .groupBy("trip_id")
+        .applyInPandas(
+            per_trip,
+            schema=(
+                "trip_id string, hop_seq long, d_f double, len_m double, "
+                "unmatched boolean"
+            ),
+        )
+    )
+
+
 def segmentize(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
     """W4: cut each trip's matched polyline at the ordered projections
     of its stops; output one row per hop with the sub-polyline length.
@@ -157,34 +269,10 @@ def segmentize(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
                 columns=["trip_id", "stop_seq", "start_pos", "end_pos", "seg_len"]
             )
         xs, ys = line["x"].to_numpy(float), line["y"].to_numpy(float)
-        seg_dx = np.diff(xs)
-        seg_dy = np.diff(ys)
-        seg_len = np.hypot(seg_dx, seg_dy)
-        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
-
-        # ordered projectOnAfter (PolyLine.h:98-119): each stop projects
-        # onto the line at/after the previous stop's position
-        pos = []
-        start_seg = 0
-        last_pos = 0.0
-        for px, py in zip(stops["x"].to_numpy(float), stops["y"].to_numpy(float)):
-            best_d, best_pos, best_seg = np.inf, 0.0, start_seg
-            for si in range(start_seg, len(seg_len)):
-                if seg_len[si] == 0:
-                    continue
-                t = ((px - xs[si]) * seg_dx[si] + (py - ys[si]) * seg_dy[si]) / (
-                    seg_len[si] ** 2
-                )
-                t = min(1.0, max(0.0, t))
-                qx, qy = xs[si] + t * seg_dx[si], ys[si] + t * seg_dy[si]
-                d = np.hypot(px - qx, py - qy)
-                if d < best_d:
-                    best_d, best_pos, best_seg = d, cum[si] + t * seg_len[si], si
-            # cut positions must be monotone: a stop may project earlier
-            # within the restart segment — clamp to the previous cut
-            last_pos = max(best_pos, last_pos)
-            pos.append(last_pos)
-            start_seg = best_seg
+        # ordered projectOnAfter (PolyLine.h:98-119), monotone cuts
+        pos, _, _ = _cut_positions(
+            xs, ys, stops["x"].to_numpy(float), stops["y"].to_numpy(float)
+        )
         rows = []
         sseq = stops["ord"].to_numpy()
         for i in range(len(pos) - 1):

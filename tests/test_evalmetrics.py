@@ -157,3 +157,31 @@ def test_df_histogram_matches_duckdb_aggregate(spark):
     w = want.fillna(-1.0)
     for c in ["bin", "n", "n_unmatched"]:
         assert np.allclose(g[c].astype(float), w[c].astype(float)), c
+
+
+def test_frechet_hops_per_hop_semantics(spark):
+    """Per-hop get_da granularity: hop lengths tile the clipped aligned
+    polyline, d_f >= 0, unmatched <=> d_f >= 20; the A_N/A_L aggregate
+    over hops re-checks in DuckDB with the same dialect-neutral string."""
+    import duckdb
+
+    hops = entrymod.queries()["frechet_hops"](spark, SF_DIR)
+    pdf = hops.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["d_f"] >= 0).all() and (pdf["len_m"] >= 0).all()
+    assert (pdf["unmatched"] == (pdf["d_f"] >= evalmetrics.UNMATCHED_DF)).all()
+    # hops per trip = stops - 1 (stops = the observation points; an
+    # observation can drop from the ALIGNED side, never from the stops)
+    stops_per_trip = (
+        datagen.points(spark, SF_DIR).groupBy("trip_id").count().toPandas()
+    )
+    hops_per_trip = pdf.groupby("trip_id").size()
+    for _, r in stops_per_trip.iterrows():
+        assert hops_per_trip.get(r["trip_id"], 0) == r["count"] - 1
+
+    got = evalmetrics.eval_summary(hops).toPandas()
+    con = duckdb.connect()
+    con.register("hops", pdf)
+    want = con.execute(evalmetrics.eval_summary_sql("hops")).fetchdf()
+    for c in got.columns:
+        assert np.allclose(got[c].astype(float), want[c].astype(float), rtol=1e-12), c
