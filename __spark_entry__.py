@@ -1,13 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship pipeline smoke at sf0.001.
-``queries()``   — one callable per implemented operator (76 queries,
-                  SQL-oracled ones first; the SURVEY.md §2 map is
-                  COVERAGE.md).
-``oracle_sql()``— DuckDB-equivalent SQL per query (66 bit-identical
+``queries()``   — one callable per implemented operator (78 queries:
+                  a priority tier of new/changed ones, then the other
+                  SQL-oracled ones, rows-only last; the SURVEY.md §2
+                  map is COVERAGE.md).
+``oracle_sql()``— DuckDB-equivalent SQL per query (67 bit-identical
                   oracles, incl. recursive-CTE oracles for the
                   Manhattan-variant greedy2/Viterbi DPs and the
-                  round-unrolled composed lifecycle graph; the 10
+                  round-unrolled composed lifecycle graph; the 11
                   rows-only entries are the full-cost sequential DP /
                   geometry kernels, each gated by an independent
                   python-reference test in tests/ instead).
