@@ -1182,8 +1182,27 @@ def edge_dijkstra_viterbi_step(
     # hop exceeds the cap is discarded (that seed-pair is inf); the
     # state can still settle later via an in-band seed.
     band_cap: float | None = None
+    relax_cap: float | None = None
     pend = 0.0
     seed_dp = {ordn: c for ordn, _, c in live_seeds}
+    # dp SPREAD across the layer's seeds: settle-once keys states by min
+    # TOTAL (dp + hop), while the reference bands each PAIRWISE hop
+    # (router.cpp:229-306). A low-dp seed can settle a shared transit
+    # state first and then get band-pruned en route, shadowing an
+    # in-band higher-dp seed. Expansion therefore prunes at
+    # band_cap + spread: if pair (B, T) is strictly in-band, every state
+    # x on B's shortest path settles at total <= dp_B + hop_B(x), so the
+    # settling seed s has hop(x) = total - dp_s <= spread + band_cap —
+    # never pruned — and T provably receives a delivery with
+    # total <= dp_B + hop_B(T). A target RESOLVES only on a strictly
+    # in-band first settle (then its value equals the pairwise banded
+    # min — any strict pop witnesses an in-band pair, so first-pop total
+    # == min in-band pair total); a target whose first settle is only
+    # relax-band goes to the exact pairwise repair pass below.
+    spread = 0.0
+    if live_seeds:
+        dps = [c for _, _, c in live_seeds]
+        spread = max(dps) - min(dps)
     if band and live_seeds and remaining:
         xy = csr.get("xy")
         if xy is not None:
@@ -1195,37 +1214,100 @@ def edge_dijkstra_viterbi_step(
 
     dist: dict[int, float] = {}
     origin: dict[int, int] = {}
+    suspects: set[int] = set()  # targets settled only via out-of-band pops
     tgt_set = tgt_idx
     while pq and remaining:
         _, d, _, ordn, u = heapq.heappop(pq)
         if u in dist:
             continue
-        if band_cap is not None and d - seed_dp[ordn] > band_cap:
-            continue  # this seed-pair's hop is beyond the band => inf
-        dist[u] = d
+        hop = d - seed_dp[ordn]
+        if relax_cap is not None and hop > relax_cap:
+            continue  # beyond the band for EVERY seed => truly inf
+        strict = band_cap is None or hop <= band_cap
+        dist[u] = d  # transit settle: min TOTAL, proven sufficient above
         origin[u] = ordn
-        remaining.discard(u)
-        if not remaining:
-            break
-        if band and band_cap is None and u in tgt_set:
-            c0 = d - seed_dp[ordn]  # the pilot's pure hop cost
-            band_cap = max(c0, pend * OPTS["level_punish"][2]) * 3.0 + \
-                OPTS["full_turn_punish"] + OPTS["pass_thru_station_punish"]
+        if u in remaining:
+            remaining.discard(u)
+            if not strict:
+                suspects.add(u)  # pairwise-banded value uncertain
+            if not remaining:
+                break
+            if band and band_cap is None:
+                c0 = hop  # the pilot's pure hop cost
+                band_cap = max(c0, pend * OPTS["level_punish"][2]) * 3.0 + \
+                    OPTS["full_turn_punish"] + OPTS["pass_thru_station_punish"]
+                relax_cap = band_cap + spread
         for i in range(indptr[u], indptr[u + 1]):
             v = int(dsts[i])
             if v not in dist:
                 d2 = d + float(cost[i])
-                if band_cap is not None and d2 - seed_dp[ordn] > band_cap:
-                    continue  # prune pushes beyond this seed's hop band
+                if relax_cap is not None and d2 - seed_dp[ordn] > relax_cap:
+                    continue  # prune pushes beyond every seed's hop band
                 hv = float(harr[v]) if harr is not None else 0.0
                 heapq.heappush(pq, (d2 + hv, d2, int(states[v]), ordn, v))
     out_d: dict[int, float] = {}
     out_o: dict[int, int] = {}
+    if suspects and band_cap is not None:
+        rd, ro = _pairwise_band_step(csr, live_seeds, suspects, band_cap, harr)
+        for ti, dv in rd.items():
+            dist[ti] = dv
+            origin[ti] = ro[ti]
+        for ti in suspects - rd.keys():
+            dist.pop(ti, None)  # no strictly in-band pair => inf
     for t in targets:
         ti = idx.get(t)
         if ti is not None and ti in dist:
             out_d[t] = dist[ti]
             out_o[t] = origin[ti]
+    return out_d, out_o
+
+
+def _pairwise_band_step(
+    csr: dict,
+    live_seeds: list[tuple[int, int, float]],
+    tgt_idx: set[int],
+    band_cap: float,
+    harr,
+) -> tuple[dict[int, float], dict[int, int]]:
+    """Exact pairwise-banded repair: settlement keyed by (state, seed)
+    — the reference's N x M granularity (router.cpp:626-688) — with the
+    strict per-seed hop cap, run only for the rare targets the combined
+    search could not resolve strictly in-band. First pop at a target is
+    the min total over strictly in-band pairs; a target never popped
+    has no in-band pair and stays inf."""
+    indptr, dsts = csr["indptr"], csr["dst"]
+    cost, states = csr["cost"], csr["states"]
+    seed_dp = {ordn: c for ordn, _, c in live_seeds}
+    remaining = set(tgt_idx)
+    pq: list[tuple[float, float, int, int, int]] = []
+    for ordn, si, c in live_seeds:
+        h0 = float(harr[si]) if harr is not None else 0.0
+        pq.append((c + h0, c, int(states[si]), ordn, si))
+    heapq.heapify(pq)
+    seen: set[tuple[int, int]] = set()
+    out_d: dict[int, float] = {}
+    out_o: dict[int, int] = {}
+    while pq and remaining:
+        _, d, _, ordn, u = heapq.heappop(pq)
+        if (u, ordn) in seen:
+            continue
+        if d - seed_dp[ordn] > band_cap:
+            continue
+        seen.add((u, ordn))
+        if u in remaining:
+            remaining.discard(u)
+            out_d[u] = d
+            out_o[u] = ordn
+            if not remaining:
+                break
+        for i in range(indptr[u], indptr[u + 1]):
+            v = int(dsts[i])
+            if (v, ordn) not in seen:
+                d2 = d + float(cost[i])
+                if d2 - seed_dp[ordn] > band_cap:
+                    continue
+                hv = float(harr[v]) if harr is not None else 0.0
+                heapq.heappush(pq, (d2 + hv, d2, int(states[v]), ordn, v))
     return out_d, out_o
 
 

@@ -477,6 +477,40 @@ def test_hop_band_semantics(spark):
     assert 5 not in b  # beyond the band => inf, as the reference prunes
 
 
+def test_hop_band_no_shadowing_through_shared_state():
+    """The combined multi-source search must match the reference's
+    PAIRWISE hop banding (router.cpp:626-688) even when a low-dp seed
+    settles a shared transit state first and its own continuation is
+    out-of-band: the in-band higher-dp seed's pair must stay finite.
+
+    Construction: seed A (dp 0) reaches transit u at hop 30000 and
+    settles it (total 30000 < seed B's 26000+5000); A's delivery to T
+    has hop 35000 > band_cap (= 3*pilot 10000 + 3100 = 33100), while
+    pair (B, T) has hop 10000 — strictly in-band. The pairwise-exact
+    answer is dp_B + hop_B = 36000 via B."""
+    toy = pd.DataFrame(
+        {
+            "from_edge": [0, 0, 10, 50],
+            "to_edge": [100, 50, 50, 60],
+            "cost": [10000.0, 30000.0, 5000.0, 5000.0],
+            "fx": [0.0, 0.0, 10.0, 20.0],
+            "fy": [0.0] * 4,
+            "tx": [5.0, 20.0, 20.0, 30.0],
+            "ty": [0.0] * 4,
+        }
+    )
+    tcsr = ER.build_edge_csr(toy)
+    seeds = [(0, 0.0), (10, 26000.0)]
+    banded, ob = ER.edge_dijkstra_viterbi_step(tcsr, seeds, [100, 60])
+    assert banded[100] == 10000.0 and ob[100] == 0  # pilot via A
+    # pair (A,T) hop 35000 is out-of-band => inf; pair (B,T) survives
+    assert banded[60] == 36000.0 and ob[60] == 1
+    unbanded, ou = ER.edge_dijkstra_viterbi_step(
+        tcsr, seeds, [100, 60], band=False
+    )
+    assert unbanded[60] == 35000.0 and ou[60] == 0  # min TOTAL ignores band
+
+
 def test_trip_debug_agrees_with_viterbi_full(spark, tmp_path):
     """-T debug layers: the chosen=true rows reproduce viterbi_full's
     (seq, state, cost) for the trip exactly; every layer exposes all its
