@@ -25,6 +25,21 @@ COORD_MASK = 65536               # x = phash % COORD_MASK, y = (phash//COORD_MAS
 # --- trips (observation sequences; GTFS stop_times analogue) ---------
 N_TRIPS = 64                     # trip_id = doc_id % N_TRIPS, seq = doc_id // N_TRIPS
 
+# --- Fréchet staircase world (A6 per-hop oracle) ----------------------
+# Integer Manhattan detours keep every intermediate float EXACT (integer
+# deltas, axis-aligned segment lengths, sums < 2^53), so the discrete
+# Eiter/Mannila DP (Geo.h:1560-1600) selects among correctly-rounded
+# sqrt values and is bit-identical between Spark/numpy and DuckDB.
+# All hop segments stay < 50 m so the reference's densify grid
+# (Geo.h:1533-1558, 50 m) is the identity on both engines.
+FH_XSTEP = 29                    # stop k at x = k*29 + phash%7 (dx in 23..35)
+FH_AMOD = 7
+FH_YBASE = 53                    # trip t baseline y = t*53
+FH_BMOD = 9                      # y jitter 3*((phash>>3)%9) (|dy| <= 24)
+FH_BSCALE = 3
+FH_HXBASE = 11                   # staircase first x-step 11..15 (< min dx 23)
+FH_HXMOD = 5
+
 # --- synthetic road graph (OSM-analogue planar grid) ------------------
 GRID_N = 32                      # GRID_N x GRID_N nodes
 GRID_SPACING = 2048.0            # meters between adjacent nodes

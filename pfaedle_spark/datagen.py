@@ -145,6 +145,67 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Fréchet staircase world (A6 per-hop oracle; constants.py FH_*)
+# --------------------------------------------------------------------
+
+def fh_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stops on the integer staircase plane: consecutive stops 23..35 m
+    apart in x, |dy| <= 24 — every truth hop segment < 50 m, so the
+    Fréchet densify grid is the identity and the whole per-hop DP is
+    exact-integer + sqrt (bit-checkable in DuckDB). ``hx`` is the
+    deterministic first x-step of the hop's detour staircase."""
+    docs = documents(spark, sf_dir)
+    phash = _phash_col()
+    t = F.col("doc_id") % C.N_TRIPS
+    k = F.floor(F.col("doc_id") / C.N_TRIPS).cast("long")
+    return docs.select(
+        F.concat(F.lit("trip_"), t.cast("string")).alias("trip_id"),
+        k.alias("stop_seq"),
+        (k * C.FH_XSTEP + phash % C.FH_AMOD).cast("double").alias("x"),
+        (t * C.FH_YBASE
+         + (F.shiftright(phash, 3) % C.FH_BMOD) * C.FH_BSCALE)
+        .cast("double").alias("y"),
+        (F.lit(C.FH_HXBASE) + F.shiftright(phash, 7) % C.FH_HXMOD)
+        .cast("double").alias("hx"),
+    )
+
+
+def fh_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matched polyline through the staircase stops: per hop
+    S_k -> (x_k+hx, y_k) -> (x_k+hx, y_{k+1}) -> S_{k+1} (the vertical
+    vertex dropped when dy = 0). Axis-aligned integer segments < 50 m;
+    each stop is an exact vertex, so the ordered projectOnAfter cuts
+    (PolyLine.h:98-119) land on exact cumulative integer positions."""
+    from pyspark.sql import Window
+
+    s = fh_stops(spark, sf_dir)
+    w = Window.partitionBy("trip_id").orderBy("stop_seq")
+    nxt = s.select(
+        "trip_id", "stop_seq", "x", "y", "hx",
+        F.lead("x").over(w).alias("x2"),
+        F.lead("y").over(w).alias("y2"),
+    )
+    stops_v = nxt.select(
+        "trip_id", (F.col("stop_seq") * 3).alias("seq"), "x", "y"
+    )
+    v1 = nxt.filter(F.col("x2").isNotNull()).select(
+        "trip_id",
+        (F.col("stop_seq") * 3 + 1).alias("seq"),
+        (F.col("x") + F.col("hx")).alias("x"),
+        F.col("y"),
+    )
+    v2 = nxt.filter(
+        F.col("x2").isNotNull() & (F.col("y2") != F.col("y"))
+    ).select(
+        "trip_id",
+        (F.col("stop_seq") * 3 + 2).alias("seq"),
+        (F.col("x") + F.col("hx")).alias("x"),
+        F.col("y2").alias("y"),
+    )
+    return stops_v.unionByName(v1).unionByName(v2)
+
+
+# --------------------------------------------------------------------
 # road graph
 # --------------------------------------------------------------------
 

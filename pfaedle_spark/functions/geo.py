@@ -217,7 +217,13 @@ def frechet_dist(ax, ay, bx, by, seg: float = 50.0) -> float:
     ax, ay = densify(ax, ay, seg)
     bx, by = densify(bx, by, seg)
     p, q = len(ax), len(bx)
-    d = np.hypot(ax[:, None] - bx[None, :], ay[:, None] - by[None, :])
+    # sqrt(dx^2+dy^2) like the reference's dist (Geo.h:362-370), NOT
+    # np.hypot: every op here is IEEE correctly rounded, so on integer
+    # inputs the matrix is bit-identical to the SQL oracle's
+    # SQRT(dx*dx+dy*dy) and the DP (a pure selection) inherits parity.
+    dx = ax[:, None] - bx[None, :]
+    dy = ay[:, None] - by[None, :]
+    d = np.sqrt(dx * dx + dy * dy)
     ca = np.empty((p, q))
     ca[0, 0] = d[0, 0]
     for j in range(1, q):
@@ -239,7 +245,9 @@ def acc_frechet_dist(ax, ay, bx, by, seg: float = 25.0) -> float:
     ax, ay = densify(ax, ay, seg)
     bx, by = densify(bx, by, seg)
     p, q = len(ax), len(bx)
-    d = np.hypot(ax[:, None] - bx[None, :], ay[:, None] - by[None, :])
+    dxm = ax[:, None] - bx[None, :]
+    dym = ay[:, None] - by[None, :]
+    d = np.sqrt(dxm * dxm + dym * dym)  # reference dist (Geo.h:362-370)
     ca = np.empty((p, q))
     ca[0, 0] = d[0, 0]
     for j in range(1, q):

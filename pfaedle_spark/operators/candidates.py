@@ -117,9 +117,19 @@ FROM cand
 """
 
 
-def candidates_cte_sql(radius: float = C.SNAP_RADIUS, k: int = C.TOP_K) -> str:
+def candidates_cte_sql(
+    radius: float = C.SNAP_RADIUS,
+    k: int = C.TOP_K,
+    edges_rel: str = "edges",
+    head: str | None = None,
+    n_ed: int | None = None,
+) -> str:
     """Same oracle as a WITH-fragment ending in a ``cand`` CTE, so
-    downstream oracles (hop costs, greedy assign) can build on it."""
+    downstream oracles (hop costs, greedy assign, the composed
+    lifecycle) can build on it. ``edges_rel``/``head`` let the J5 join
+    run over a different edge CTE (e.g. the lifecycle's collapsed
+    edges); ``n_ed`` sizes the static cell-offset list when edges can
+    span more cells than one grid spacing (collapsed chains)."""
     dist = sqlgen.dist_to_segment("p.x", "p.y", "e.x1", "e.y1", "e.x2", "e.y2")
     import math
 
@@ -129,7 +139,10 @@ def candidates_cte_sql(radius: float = C.SNAP_RADIUS, k: int = C.TOP_K) -> str:
         return "(VALUES " + ",".join(f"({i})" for i in range(n + 1)) + ")"
 
     n_pt = math.ceil(2 * radius / C.CELL) + 1
-    n_ed = math.ceil(C.GRID_SPACING / C.CELL) + 1
+    if n_ed is None:
+        n_ed = math.ceil(C.GRID_SPACING / C.CELL) + 1
+    if head is None:
+        head = sqlgen.with_ctes("points", "edges")
     pad_cells = f"""
 point_cells AS (
   SELECT p.*,
@@ -145,13 +158,13 @@ edge_cells AS (
   SELECT e.*,
          (CAST(FLOOR(LEAST(e.x1,e.x2)/{C.CELL}) AS BIGINT) + ox.o) * {C.CELL_STRIDE}
          + CAST(FLOOR(LEAST(e.y1,e.y2)/{C.CELL}) AS BIGINT) + oy.o AS cell_id
-  FROM edges e, {offs(n_ed)} ox(o), {offs(n_ed)} oy(o)
+  FROM {edges_rel} e, {offs(n_ed)} ox(o), {offs(n_ed)} oy(o)
   WHERE CAST(FLOOR(LEAST(e.x1,e.x2)/{C.CELL}) AS BIGINT) + ox.o
           <= CAST(FLOOR(GREATEST(e.x1,e.x2)/{C.CELL}) AS BIGINT)
     AND CAST(FLOOR(LEAST(e.y1,e.y2)/{C.CELL}) AS BIGINT) + oy.o
           <= CAST(FLOOR(GREATEST(e.y1,e.y2)/{C.CELL}) AS BIGINT)
 )"""
-    return f"""{sqlgen.with_ctes("points", "edges")},{pad_cells},
+    return f"""{head},{pad_cells},
 pairs AS (
   SELECT DISTINCT p.image_id, p.trip_id, p.seq, p.x, p.y,
          e.edge_id, e.src, e.dst, e.level, e.oneway,

@@ -100,11 +100,13 @@ def composed_graph(
     return nodes_f, edges_f, snaps
 
 
-def lifecycle_graph_sql() -> str:
+def lifecycle_graph_sql(final_select: bool = True) -> str:
     """Round-unrolled DuckDB oracle for the relational lifecycle prefix:
     fix-gaps remap, the three snap/split rounds, orphan + collapse
     rounds (station set = original stations + every snapped node), and
-    the endpoint-coordinate re-join."""
+    the endpoint-coordinate re-join. With ``final_select=False`` the
+    chain ends in an ``lcedges`` CTE so downstream composed oracles
+    (the J5 candidate join in ``lifecycle_candidates``) can extend it."""
     g2 = graph_passes.GAP_DIST * graph_passes.GAP_DIST
     prefix = sqlgen.with_ctes("stations", "edges") + f""",
 gdeg AS (
@@ -147,18 +149,23 @@ stnodes AS MATERIALIZED (
         station_src="stnodes",
         final_select=False,
     )
-    return body + f""",
+    final = f"""SELECT c.edge_id, c.src, c.dst, ns.x AS x1, ns.y AS y1,
+       nd.x AS x2, nd.y AS y2, c.level, c.oneway, c.length
+FROM c{graph_passes.COLLAPSE_MAX_ROUNDS} c
+JOIN nodesf ns ON ns.node_id = c.src
+JOIN nodesf nd ON nd.node_id = c.dst"""
+    body += f""",
 nodesf AS MATERIALIZED (
   SELECT node_id, x, y FROM nodes
   UNION ALL
   SELECT node_id, qx AS x, qy AS y FROM snaps_all WHERE kind = 'split'
-)
-SELECT c.edge_id, c.src, c.dst, ns.x AS x1, ns.y AS y1,
-       nd.x AS x2, nd.y AS y2, c.level, c.oneway, c.length
-FROM c{graph_passes.COLLAPSE_MAX_ROUNDS} c
-JOIN nodesf ns ON ns.node_id = c.src
-JOIN nodesf nd ON nd.node_id = c.dst
-"""
+)"""
+    if final_select:
+        return body + "\n" + final + "\n"
+    return body + f""",
+lcedges AS MATERIALIZED (
+  {final}
+)"""
 
 
 def checkpointed_lifecycle(

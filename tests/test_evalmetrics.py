@@ -159,6 +159,18 @@ def test_df_histogram_matches_duckdb_aggregate(spark):
         assert np.allclose(g[c].astype(float), w[c].astype(float)), c
 
 
+def test_frechet_hops_matches_recursive_cte_oracle(spark):
+    """The full per-hop kernel — ordered projectOnAfter cuts,
+    sub-polyline extraction, densify, Eiter/Mannila DP — against the
+    DuckDB recursive-CTE DP on the integer staircase world; values are
+    designed bit-identical (exact integer geometry + correctly-rounded
+    sqrt, DP is a pure selection)."""
+    assert_matches_oracle(
+        entrymod.queries()["frechet_hops"](spark, SF_DIR),
+        entrymod.oracle_sql()["frechet_hops"],
+    )
+
+
 def test_frechet_hops_per_hop_semantics(spark):
     """Per-hop get_da granularity: hop lengths tile the clipped aligned
     polyline, d_f >= 0, unmatched <=> d_f >= 20; the A_N/A_L aggregate

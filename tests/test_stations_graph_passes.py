@@ -195,3 +195,16 @@ def test_collapse_geoms_matches_oracle(spark):
         entrymod.queries()["collapse_geoms"](spark, SF_DIR),
         entrymod.oracle_sql()["collapse_geoms"],
     )
+
+
+def test_lifecycle_candidates_matches_composed_oracle(spark):
+    """§3.1 crossing the graph -> observations boundary: the J5
+    candidate join over the lifecycle's collapsed, re-coordinated edges
+    must match the single SQL chain (lifecycle CTEs + cell-join CTEs)."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        entrymod.queries()["lifecycle_candidates"](spark, SF_DIR),
+        entrymod.oracle_sql()["lifecycle_candidates"],
+    )
