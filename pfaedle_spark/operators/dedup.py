@@ -363,6 +363,147 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 # SimHash
 # --------------------------------------------------------------------
 
+def dedup_chain(docs: DataFrame) -> DataFrame:
+    """The end-to-end dedup suite sharing every intermediate ONCE:
+    exact-hash dedup + (shingles -> MinHash signatures -> LSH bands ->
+    candidate pairs -> estimated AND exact n-gram Jaccard).
+
+    The standalone operators (minhash_pairs / ngram_jaccard) each
+    re-derive shingles and signatures so their oracles stay
+    self-contained — composing them naively computes the signature
+    table twice and the shingle table three times. At 10^12 docs that
+    recomputation IS the bill, so the production chain materializes
+    shingles, signatures and the pair list once (EAGER localCheckpoint:
+    each materialization is its own fully-parallel job at a
+    deterministic point — the lazy form materializes whenever AQE's
+    .rdd access inside a downstream plan build first touches it, which
+    made per-stage timings unattributable) and feeds every downstream
+    join from the checkpointed tables.
+
+    Output: kind='exact' rows (a=doc_id, b=canonical_id,
+    metric=group_size) unioned with kind='pair' rows (a=doc_a, b=doc_b,
+    est_jaccard, metric=exact jaccard).
+    """
+    sh = shingles(docs).localCheckpoint(eager=True)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    bands = lsh_bands(sig)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    pairs = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # score only pair MEMBERS: the pair list is sparse, so shuffling the
+    # full signature/shingle tables into the est/inter joins moves
+    # mostly-dead rows — at 10^12 docs that full-table shuffle IS the
+    # job. A broadcast semi-join on the (small) pair-member list drops
+    # both tables map-side before any exchange.
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sig = sig.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    sh = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")) / F.lit(NUM_PERMS))
+            .alias("est_jaccard")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_hash")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "sh_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    exact_j = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+    )
+    pair_rows = est.join(exact_j, ["doc_a", "doc_b"]).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        "est_jaccard",
+        F.col("jaccard").alias("metric"),
+    )
+    exact_rows = exact_dedup(docs).select(
+        F.lit("exact").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("canonical_id").alias("b"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+        F.col("group_size").cast("double").alias("metric"),
+    )
+    return exact_rows.unionByName(pair_rows)
+
+
+def dedup_chain_sql() -> str:
+    """Oracle for the composed chain: the same single CTE chain feeds
+    exact dedup, the pair estimate and the exact Jaccard — mirroring
+    how the Spark side shares shingles/sig/pairs."""
+    return f"""WITH {_bands_cte().lstrip()},
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+           / {NUM_PERMS} AS est_jaccard
+  FROM cand_pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM cand_pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh_hash = a.sh_hash
+  GROUP BY p.doc_a, p.doc_b
+),
+keyed AS (SELECT doc_id, MD5(text) AS text_hash FROM corpus),
+grp AS (
+  SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+  FROM keyed GROUP BY text_hash
+)
+SELECT 'exact' AS kind, k.doc_id AS a, g.canonical_id AS b,
+       CAST(NULL AS DOUBLE) AS est_jaccard,
+       CAST(g.group_size AS DOUBLE) AS metric
+FROM keyed k JOIN grp g USING (text_hash)
+UNION ALL
+SELECT 'pair', p.doc_a, p.doc_b, e.est_jaccard,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))
+FROM cand_pairs p
+JOIN est e USING (doc_a, doc_b)
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash per doc from token-occurrence counts.
 

@@ -123,6 +123,43 @@ class CheckpointedPipeline:
         self.computed.append(name)
         return self.spark.read.parquet(path)
 
+    def effect_stage(
+        self,
+        name: str,
+        fn: Callable[[], None],
+        inputs: list[str] | None = None,
+        marker: str | None = None,
+    ) -> None:
+        """Checkpoint a non-DataFrame side effect (e.g. the GTFS feed
+        CSV sink): skipped on resume when already complete, no declared
+        input recomputed this run, and the marker path still exists —
+        so a clean resume is metadata-only instead of re-paying the full
+        feed rewrite."""
+        entry = self._entries.get(name)
+        inputs_fresh = not any(i in self.computed for i in (inputs or []))
+        if (
+            entry
+            and entry.get("status") == "complete"
+            and inputs_fresh
+            and (marker is None or os.path.exists(marker))
+        ):
+            self.skipped.append(name)
+            return
+        t0 = time.perf_counter()
+        fn()
+        self._append(
+            {
+                "stage": name,
+                "status": "complete",
+                "wall_s": round(time.perf_counter() - t0, 3),
+                "n_rows": None,
+                "inputs": inputs or [],
+                "partitions": [],
+                "ts": time.time(),
+            }
+        )
+        self.computed.append(name)
+
     def invalidate(self, name: str) -> None:
         """Drop a stage's checkpoint (forces recompute on next run)."""
         if name in self._entries:

@@ -5,12 +5,17 @@ Reference: 4-pass memory-frugal XML scan
 columnar tables, so ONE parse into ``nodes/ways/relations`` DataFrames
 replaces the re-scans — the passes become joins (SURVEY §2.1 S2).
 
-Parse strategy: ``spark.read.text(wholetext)`` per file +
-``mapInPandas`` running the stdlib XML parser per file — files are the
-parallelism unit (a planet-scale ingest splits the PBF/XML into file
-shards first; same plan shape). Tags become a ``map<string,string>``
-column, way node refs an ``array<long>``, relation members an array of
-(type, ref, role) structs.
+Parse strategy: file shards are the parallelism unit — the task set is
+a DataFrame of shard paths, and each task STREAMS its shard through
+``ET.iterparse`` (constant memory per element, mirroring the
+reference's SAX-style pass, ``osm_builder.cpp:151-163``) instead of
+materializing the whole file as one string. A ``max_shard_bytes``
+guard rejects oversized shards with an actionable error instead of an
+executor OOM: a planet-scale ingest must pre-shard the XML/PBF into
+bounded pieces (same rule as every distributed XML reader). Tags
+become a ``map<string,string>`` column, way node refs an
+``array<long>``, relation members an array of (type, ref, role)
+structs.
 """
 
 from __future__ import annotations
@@ -29,51 +34,111 @@ RELS_SCHEMA = (
     "tags map<string,string>"
 )
 
+# default shard ceiling: a 256 MiB XML shard parses in bounded memory
+# and stays a sane task size at 1000 executors; planet.osm (~2 TB XML)
+# must arrive pre-sharded — this guard turns the silent one-task OOM
+# into an immediate, explained failure.
+MAX_SHARD_BYTES = 256 << 20
 
-def _parse(xml_text: str):
-    root = ET.fromstring(xml_text)
-    nodes, ways, rels = [], [], []
-    for el in root:
+
+def _iterparse_shard(path: str, max_shard_bytes: int):
+    """Stream one XML shard: yields ('node'|'way'|'relation', row).
+    Constant memory — every parsed top-level element is cleared from
+    the tree before the next one is read."""
+    import os
+
+    size = os.path.getsize(path)
+    if size > max_shard_bytes:
+        raise ValueError(
+            f"OSM shard {path} is {size} bytes (> max_shard_bytes="
+            f"{max_shard_bytes}). Pre-shard the input: a planet-scale "
+            "ingest splits the XML/PBF into bounded shards so each task "
+            "streams one piece (reference runs memory-frugal passes for "
+            "the same reason, osm_builder.cpp:151-163). Raise "
+            "max_shard_bytes only with executor memory to match."
+        )
+    ctx = ET.iterparse(path, events=("start", "end"))
+    _, root = next(ctx)  # the <osm> root element
+    for ev, el in ctx:
+        if ev != "end" or el.tag not in ("node", "way", "relation"):
+            continue
         tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
         if el.tag == "node":
-            nodes.append(
-                (int(el.get("id")), float(el.get("lat")), float(el.get("lon")), tags)
+            yield "node", (
+                int(el.get("id")), float(el.get("lat")),
+                float(el.get("lon")), tags,
             )
         elif el.tag == "way":
             nds = [int(nd.get("ref")) for nd in el.findall("nd")]
-            ways.append((int(el.get("id")), nds, tags))
-        elif el.tag == "relation":
+            yield "way", (int(el.get("id")), nds, tags)
+        else:
             members = [
                 (m.get("type"), int(m.get("ref")), m.get("role") or "")
                 for m in el.findall("member")
             ]
-            rels.append((int(el.get("id")), members, tags))
-    return nodes, ways, rels
+            yield "relation", (int(el.get("id")), members, tags)
+        root.clear()  # drop the finished element (and any text siblings)
 
 
-def _mk_reader(kind: int, schema_cols: list[str]):
+_KINDS = ("node", "way", "relation")
+
+
+def _mk_reader(kind: int, schema_cols: list[str], max_shard_bytes: int):
+    want = _KINDS[kind]
+
     def reader(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for txt in pdf["value"]:
-                rows.extend(_parse(txt)[kind])
-            yield pd.DataFrame(rows, columns=schema_cols)
+            for path in pdf["path"]:
+                rows = [
+                    r for k, r in _iterparse_shard(path, max_shard_bytes)
+                    if k == want
+                ]
+                yield pd.DataFrame(rows, columns=schema_cols)
 
     return reader
 
 
-def read_osm(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """One scan -> three DataFrames. `path` may be a glob of XML shards."""
-    raw = spark.read.text(path, wholetext=True)
+def _shard_paths(path: str) -> list[str]:
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if not f.startswith(".")
+        )
+    hits = sorted(_glob.glob(path))
+    if not hits:
+        raise FileNotFoundError(f"no OSM shards match {path}")
+    return hits
+
+
+def read_osm(
+    spark: SparkSession,
+    path: str,
+    max_shard_bytes: int = MAX_SHARD_BYTES,
+) -> dict[str, DataFrame]:
+    """One streamed scan -> three DataFrames. ``path`` may be a single
+    file, a directory, or a glob of XML shards; shards are distributed
+    one-per-task and each streams through iterparse (shared-filesystem
+    paths, as on any cluster ingest from HDFS/S3/NFS)."""
+    files = _shard_paths(path)
+    par = spark.sparkContext.defaultParallelism
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(min(len(files), par * 2))
     return {
-        "nodes": raw.mapInPandas(
-            _mk_reader(0, ["node_id", "lat", "lon", "tags"]), schema=NODES_SCHEMA
+        "nodes": paths_df.mapInPandas(
+            _mk_reader(0, ["node_id", "lat", "lon", "tags"], max_shard_bytes),
+            schema=NODES_SCHEMA,
         ),
-        "ways": raw.mapInPandas(
-            _mk_reader(1, ["way_id", "nds", "tags"]), schema=WAYS_SCHEMA
+        "ways": paths_df.mapInPandas(
+            _mk_reader(1, ["way_id", "nds", "tags"], max_shard_bytes),
+            schema=WAYS_SCHEMA,
         ),
-        "relations": raw.mapInPandas(
-            _mk_reader(2, ["rel_id", "members", "tags"]), schema=RELS_SCHEMA
+        "relations": paths_df.mapInPandas(
+            _mk_reader(2, ["rel_id", "members", "tags"], max_shard_bytes),
+            schema=RELS_SCHEMA,
         ),
     }
 

@@ -66,7 +66,7 @@ def test_lifecycle_checkpoints_and_resumes(spark, tmp_path):
     assert n1 > 0
     assert cp1.computed == [
         "snaps", "graph_nodes", "graph_edges", "components",
-        "candidates", "viterbi", "shapes", "gtfs_shapes",
+        "candidates", "viterbi", "shapes", "gtfs_shapes", "gtfs_feed",
     ]
     # the S5 sink wrote the COMPLETE fixed-name GTFS feed; shapes row
     # count matches the assembled result
@@ -76,16 +76,20 @@ def test_lifecycle_checkpoints_and_resumes(spark, tmp_path):
     for t in ("stops", "trips", "stop_times"):
         assert os.path.exists(os.path.join(root, "feed", f"{t}.txt")), t
 
-    # kill + rerun: everything resumes, nothing recomputes
+    # kill + rerun: everything resumes, nothing recomputes — including
+    # the feed sink (its own effect stage) and the transitions build
+    # (deferred into the DP stage lambdas), so a clean resume is
+    # metadata-only
     shapes2, cp2 = checkpointed_lifecycle(spark, SF_DIR, root)
-    assert cp2.computed == [] and len(cp2.skipped) == 8
+    assert cp2.computed == [] and len(cp2.skipped) == 9
+    assert "gtfs_feed" in cp2.skipped
     assert shapes2.count() == n1
 
     # losing the viterbi checkpoint recomputes only the DP tail; the
     # (expensive) graph-construction prefix stays resumed
     shutil.rmtree(f"{root}/viterbi")
     shapes3, cp3 = checkpointed_lifecycle(spark, SF_DIR, root)
-    assert cp3.computed == ["viterbi", "shapes", "gtfs_shapes"]
+    assert cp3.computed == ["viterbi", "shapes", "gtfs_shapes", "gtfs_feed"]
     assert set(cp3.skipped) == {
         "snaps", "graph_nodes", "graph_edges", "components", "candidates",
     }

@@ -111,3 +111,42 @@ def test_stream_candidates_is_stateless(spark, tmp_path):
 
     state_dir = os.path.join(str(tmp_path / "cp_plan"), "state")
     assert not os.path.exists(state_dir), "stateless join created a state store"
+
+
+def test_image_table_partition_pruning(spark, tmp_path):
+    """The Iceberg DDL claims file-level pruning; the parquet fallback
+    proves the same plan property: the bbox prefix predicate reaches the
+    scan as a PARTITION filter (directories skipped at planning time),
+    and the scan reads strictly fewer files than the full table."""
+    from pfaedle_spark import constants as C
+    from pfaedle_spark import datagen
+    from pfaedle_spark.sources import iceberg as ice
+
+    path = str(tmp_path / "images_part")
+    imgs = datagen.with_bytes(datagen.images(spark, SF_DIR))
+    ice.write_images_partitioned(imgs, path)
+
+    pruned = ice.read_images_pruned(spark, path, 0.0, 3 * C.CELL - 1.0)
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and ice.CELL_X_COL in plan
+    # directories actually skipped: the filtered scan touches fewer
+    # files at RUNTIME (input_file_name sees post-pruning reads;
+    # inputFiles() would report the unpruned relation)
+    import pyspark.sql.functions as F
+
+    def files_read(df):
+        return {
+            r[0] for r in df.select(F.input_file_name()).distinct().collect()
+        }
+
+    all_files = files_read(spark.read.parquet(path))
+    kept_files = files_read(pruned)
+    assert kept_files and len(kept_files) < len(all_files)
+    assert all(f"{ice.CELL_X_COL}=" in f for f in kept_files)
+    # and the pruned scan returns exactly the bbox rows
+    want = (
+        spark.read.parquet(path)
+        .filter(f"phash % {C.COORD_MASK} < {3 * C.CELL}")
+        .count()
+    )
+    assert pruned.count() == want > 0

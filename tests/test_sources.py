@@ -33,6 +33,50 @@ def test_osm_scan(spark, tmp_path):
     assert rels[0].tags["route"] == "train"
 
 
+def test_osm_multi_shard_scan_matches_single_file(spark, tmp_path):
+    """Planet-scale precondition made real: N shards ingested through
+    the streamed iterparse reader produce IDENTICAL tables to the
+    single-file parse (the reference's memory-frugal multi-pass scan,
+    osm_builder.cpp:151-163, distributed as one shard per task)."""
+    single = tmp_path / "all.osm"
+    single.write_text(OSM_XML)
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    head = '<?xml version="1.0"?>\n<osm version="0.6">\n'
+    body = [
+        ln for ln in OSM_XML.splitlines()
+        if not ln.startswith(("<?xml", "<osm", "</osm"))
+    ]
+    cut = len(body) // 2
+    (shard_dir / "part0.osm").write_text(head + "\n".join(body[:cut]) + "\n</osm>\n")
+    (shard_dir / "part1.osm").write_text(head + "\n".join(body[cut:]) + "\n</osm>\n")
+
+    one = osm.read_osm(spark, str(single))
+    many = osm.read_osm(spark, str(shard_dir))  # directory of shards
+    globbed = osm.read_osm(spark, str(shard_dir / "part*.osm"))  # glob
+
+    for t in ("nodes", "ways", "relations"):
+        key = one[t].columns[0]
+        a = sorted(map(str, one[t].collect()))
+        b = sorted(map(str, many[t].collect()))
+        c = sorted(map(str, globbed[t].collect()))
+        assert a == b == c, t
+        assert one[t].select(key).distinct().count() == many[t].count(), t
+
+
+def test_osm_oversized_shard_fails_with_clear_error(spark, tmp_path):
+    """An unsharded oversize input must fail actionably (pre-shard the
+    planet), not OOM an executor holding the whole file."""
+    import pytest
+
+    p = tmp_path / "big.osm"
+    p.write_text(OSM_XML)
+    tables = osm.read_osm(spark, str(p), max_shard_bytes=64)
+    with pytest.raises(Exception, match="max_shard_bytes"):
+        tables["nodes"].collect()
+
+
 def test_osm_keep_filter_and_sink(spark, tmp_path):
     p = tmp_path / "mini.osm"
     p.write_text(OSM_XML)
@@ -106,3 +150,58 @@ def test_iceberg_source_fallback_contract(spark):
     assert df.count() == want.count() > 0
     # the DDL the cluster deployment creates the table with
     assert "bucket(256, phash)" in ice.IMAGES_DDL and "USING iceberg" in ice.IMAGES_DDL
+
+
+def test_iceberg_table_resolution_rules(spark, monkeypatch):
+    """Identifier resolution: explicit conf/env beats detection;
+    wrapper catalogs resolve via the impl-class allowlist; several
+    catalogs refuse to guess."""
+    from pfaedle_spark.sources import iceberg as ice
+
+    # conf / env identifier wins without any catalog configured
+    assert ice.configured_table(spark) is None
+    monkeypatch.setenv(ice.TABLE_ENV_KEY, "lake.wh.images")
+    assert ice.configured_table(spark) == "lake.wh.images"
+    monkeypatch.delenv(ice.TABLE_ENV_KEY)
+
+    # allowlist catches an Iceberg impl class without the substring
+    class FakeConf:
+        def getAll(self):
+            return [
+                ("spark.sql.catalog.lakeA", ice.KNOWN_ICEBERG_IMPLS[0]),
+                ("spark.sql.catalog.lakeB.type", "hadoop"),  # sub-key: not a catalog
+                ("spark.sql.catalog.plain", "com.example.HiveCatalog"),
+            ]
+
+    class FakeSC:
+        def getConf(self):
+            return FakeConf()
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    assert ice.iceberg_catalogs(FakeSpark()) == ["lakeA"]
+
+    class TwoCatConf(FakeConf):
+        def getAll(self):
+            return [
+                ("spark.sql.catalog.lakeA", ice.KNOWN_ICEBERG_IMPLS[0]),
+                ("spark.sql.catalog.lakeB", ice.KNOWN_ICEBERG_IMPLS[1]),
+            ]
+
+    class TwoSC:
+        def getConf(self):
+            return TwoCatConf()
+
+    class TwoSpark:
+        sparkContext = TwoSC()
+
+        class conf:  # explicit conf unset
+            @staticmethod
+            def get(key, default=None):
+                return default
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple Iceberg catalogs"):
+        ice.read_images(TwoSpark(), SF_DIR)

@@ -187,3 +187,33 @@ def test_phash_neardup_finds_planted_copies(spark):
     got = {(r.a_id, r.b_id) for r in rows}
     assert got == planted
     assert all(0 < r.hamming <= dedup.PHASH_HAM_T for r in rows)
+
+
+def test_dedup_chain_matches_composed_oracle(spark):
+    """The production composition (shingles/signatures/pairs shared
+    once) must agree with the single-CTE-chain oracle — and with the
+    standalone operators it composes."""
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        entrymod.queries()["dedup_chain"](spark, SF_DIR),
+        entrymod.oracle_sql()["dedup_chain"],
+    )
+    # pair rows == minhash_pairs ⋈ ngram_jaccard (sharing changes plans,
+    # never values)
+    chain = dedup.dedup_chain(datagen.dedup_corpus(spark, SF_DIR))
+    pairs = {
+        (r.a, r.b): (r.est_jaccard, r.metric)
+        for r in chain.filter("kind = 'pair'").collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_pairs(datagen.dedup_corpus(spark, SF_DIR)).collect()
+    }
+    ex = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard(datagen.dedup_corpus(spark, SF_DIR)).collect()
+    }
+    assert pairs.keys() == est.keys() == ex.keys()
+    for k, (e, j) in pairs.items():
+        assert e == est[k] and j == ex[k], k

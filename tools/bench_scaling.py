@@ -37,33 +37,62 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark(f"scaling_{{cores}}")
 spark.sparkContext.setLogLevel("ERROR")
 
-# deterministic amplification: replica r becomes its own set of trips
-# spread across the plane (large coprime offsets mod the world size),
-# so replicas hit DIFFERENT cells/candidates — amplified work is real
-# work, not route-cache hits.
-pts = datagen.points(spark, sf_dir)
-reps = spark.range(amp).select(F.col("id").alias("rep"))
-pts = (
-    pts.crossJoin(F.broadcast(reps))
-    .select(
-        F.concat("image_id", F.lit("_r"), F.col("rep").cast("string")).alias("image_id"),
-        "doc_id", "phash",
-        ((F.col("x") + F.col("rep") * 977.0) % 65536.0).alias("x"),
-        ((F.col("y") + F.col("rep") * 1409.0) % 65536.0).alias("y"),
-        F.concat("trip_id", F.lit("_r"), F.col("rep").cast("string")).alias("trip_id"),
-        "seq",
-    )
-)
-# spread the input across partitions BEFORE freezing it: the crossJoin
-# of a one-file parquet yields ONE partition, and every downstream
-# consumer would pay an input-proportional single-task exchange (a real
-# ingest has file-count parallelism; this mirrors it)
-pts = pts.repartition(64).localCheckpoint(eager=True)
-eds = datagen.edges(spark)
-n_images = pts.count()
-
-
 mode = os.environ.get("SPARK_GRAFT_MODE", "flagship")
+reps = spark.range(amp).select(F.col("id").alias("rep"))
+
+if mode == "dedup":
+    # amplify the dedup corpus so each replica is textually DISTINCT
+    # (every word carries the replica suffix): replicas never collide in
+    # LSH buckets, so work grows LINEARLY with amp — the planted dups
+    # stay within their replica, exactly like independent corpus shards
+    # at cluster scale.
+    corpus = datagen.dedup_corpus(spark, sf_dir)
+    corpus = (
+        corpus.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.expr(
+                "array_join(transform(split(text, ' '),"
+                " w -> concat(w, '_', cast(rep as string))), ' ')"
+            ).alias("text"),
+        )
+    )
+    data = corpus.repartition(64).localCheckpoint(eager=True)
+    n_images = data.count()
+
+    from pfaedle_spark.operators import dedup
+
+    def pipeline(c):
+        # the brief's dedup chain end-to-end: exact dedup + MinHash+LSH
+        # pairs + exact n-gram Jaccard, sharing shingles/signatures/
+        # pairs once (the production composition — the standalone
+        # operators re-derive intermediates for oracle isolation)
+        return dedup.dedup_chain(c)
+else:
+    # deterministic amplification: replica r becomes its own set of trips
+    # spread across the plane (large coprime offsets mod the world size),
+    # so replicas hit DIFFERENT cells/candidates — amplified work is real
+    # work, not route-cache hits.
+    pts = datagen.points(spark, sf_dir)
+    pts = (
+        pts.crossJoin(F.broadcast(reps))
+        .select(
+            F.concat("image_id", F.lit("_r"), F.col("rep").cast("string")).alias("image_id"),
+            "doc_id", "phash",
+            ((F.col("x") + F.col("rep") * 977.0) % 65536.0).alias("x"),
+            ((F.col("y") + F.col("rep") * 1409.0) % 65536.0).alias("y"),
+            F.concat("trip_id", F.lit("_r"), F.col("rep").cast("string")).alias("trip_id"),
+            "seq",
+        )
+    )
+    # spread the input across partitions BEFORE freezing it: the crossJoin
+    # of a one-file parquet yields ONE partition, and every downstream
+    # consumer would pay an input-proportional single-task exchange (a real
+    # ingest has file-count parallelism; this mirrors it)
+    pts = pts.repartition(64).localCheckpoint(eager=True)
+    eds = datagen.edges(spark)
+    n_images = pts.count()
+    data = pts
 
 if mode == "lifecycle":
     # the composed lifecycle (graph passes -> full-model viterbi ->
@@ -83,7 +112,7 @@ if mode == "lifecycle":
     def pipeline(p):
         cand = candidates.candidate_edges(p, edges_f)
         return edge_routing.shape_assembly(cand, tbv, dedges)
-else:
+elif mode == "flagship":
     def pipeline(p):
         cand = candidates.candidate_edges(p, eds)
         aligned = routing.viterbi_align(cand, graph_ops.write_odir_edges(eds))
@@ -93,10 +122,10 @@ else:
 # warmup on a tiny slice: compiles every codegen stage, spawns the
 # python workers, ships the broadcast — throughput measures the job,
 # not JVM/worker cold start (excluded identically at both core counts)
-pipeline(pts.limit(2000).localCheckpoint(eager=True)).write.format("noop").mode("overwrite").save()
+pipeline(data.limit(2000).localCheckpoint(eager=True)).write.format("noop").mode("overwrite").save()
 
 t0 = time.perf_counter()
-pipeline(pts).write.format("noop").mode("overwrite").save()
+pipeline(data).write.format("noop").mode("overwrite").save()
 wall = time.perf_counter() - t0
 print(json.dumps({{"cores": cores, "n_images": n_images, "wall_s": round(wall, 2),
                    "images_per_sec": round(n_images / wall, 1)}}))
@@ -126,7 +155,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=4, help="small parallelism (N)")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--update-baseline", action="store_true")
-    ap.add_argument("--mode", default="flagship", choices=["flagship", "lifecycle"])
+    ap.add_argument(
+        "--mode", default="flagship",
+        choices=["flagship", "lifecycle", "dedup"],
+    )
     args = ap.parse_args()
 
     # this sandbox VM delivers linear CPU up to ~16 concurrent processes
