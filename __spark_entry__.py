@@ -1,17 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship pipeline smoke at sf0.001.
-``queries()``   — one callable per implemented operator (80 queries:
+``queries()``   — one callable per implemented operator (82 queries:
                   a priority tier of new/never-driver-graded ones, then
                   the other SQL-oracled ones rotated deterministically
                   by round so each re-enters the driver's grading
                   window, rows-only last; the SURVEY.md §2 map is
                   COVERAGE.md).
-``oracle_sql()``— DuckDB-equivalent SQL per query (70 bit-identical
+``oracle_sql()``— DuckDB-equivalent SQL per query (72 bit-identical
                   oracles, incl. recursive-CTE oracles for the
                   Manhattan-variant greedy2/Viterbi DPs, the per-hop
-                  Fréchet Eiter/Mannila DP, the round-unrolled composed
-                  lifecycle graph and its candidate join, and the
+                  Fréchet Eiter/Mannila DP (max AND accumulated-sum
+                  variants), the round-unrolled composed lifecycle
+                  graph and its candidate join, and the
                   shared-intermediate dedup chain; the 10 rows-only
                   entries are the full-cost sequential DP / geometry
                   kernels, each gated by an independent
@@ -522,6 +523,33 @@ def _q_frechet_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalmetrics.frechet_hops(datagen.fh_aligned(spark, sf_dir), stops)
 
 
+def _q_acc_frechet_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 per-hop ACCUMULATED Fréchet (Geo.h:1602-1627): the summed
+    optimal-coupling distance, normalized by the densified point count.
+    Runs the full kernel on the staircase world so the last Fréchet
+    variant without a SQL oracle becomes bit-checkable (the 25 m densify
+    grid inserts exactly one integer-half midpoint on truth segments
+    longer than 25 m — reproduced exactly in the oracle)."""
+    stops = datagen.fh_stops(spark, sf_dir).select(
+        "trip_id", "stop_seq", "x", "y"
+    )
+    return evalmetrics.acc_frechet_hops(
+        datagen.fh_aligned(spark, sf_dir), stops
+    )
+
+
+def _q_segmentize_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 segmentize run on the staircase world, where the ordered
+    projectOnAfter cut positions are EXACT integer cumulative lengths
+    (axis-aligned segments; hypot of (dx,0)/(0,dy) and their float sums
+    are exact) — so the whole projection-scan kernel, rows-only on the
+    viterbi-fed world, is bit-checkable against a window-SUM oracle."""
+    stops = datagen.fh_stops(spark, sf_dir).select(
+        "trip_id", "stop_seq", "x", "y"
+    )
+    return evalmetrics.segmentize(datagen.fh_aligned(spark, sf_dir), stops)
+
+
 def _q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 global summary row: A_N/N, length-weighted A_L/L, d_f spread
     (collector::print_stats, collector.cpp:389-439). The d_f kernel is
@@ -591,7 +619,8 @@ _ROWS_ONLY = [
 # fresh green cell must not sit at the tail. Round 4: the 9 SQL-oracled
 # queries never graded in r1-r3, plus this round's new oracles.
 _PRIORITY = [
-    "frechet_hops", "lifecycle_candidates", "dedup_chain",
+    "frechet_hops", "acc_frechet_hops", "segmentize_hops",
+    "lifecycle_candidates", "dedup_chain",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -692,6 +721,8 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentize": _q_segmentize,
         "eval_summary": _q_eval_summary,
         "frechet_hops": _q_frechet_hops,
+        "acc_frechet_hops": _q_acc_frechet_hops,
+        "segmentize_hops": _q_segmentize_hops,
         "trip_debug": _q_trip_debug,
         "images_meta": _q_images_meta,
         "image_decode_stats": _q_image_decode_stats,
@@ -948,6 +979,135 @@ JOIN hops h ON h.trip_id = dp.trip_id AND h.hop_seq = dp.hop_seq
 """
 
 
+def _acc_frechet_hops_sql() -> str:
+    """The ACCUMULATED Fréchet DP (Geo.h:1602-1627) as a recursive CTE
+    over the same staircase world as ``_frechet_hops_sql``. Exactness:
+    with the kernel's 25 m grid the hop sub-polyline is identity-
+    densified (every staircase segment <= 24), and the truth segment
+    gains exactly one midpoint iff dx^2+dy^2 > 625 — an INTEGER
+    comparison, and the midpoint ((x1+x2)/2, (y1+y2)/2) is an exact
+    half. The distance matrix is SQRT of exactly-representable values
+    and the DP row recurrence
+      ca[i,0] = ca[i-1,0] + d[i,0]
+      ca[i,j] = min(ca[i-1,j], ca[i-1,j-1], ca[i,j-1]) + d[i,j]
+    evaluates the identical expression tree in both engines (LEAST then
+    one add), so the sums round identically; the final /max(p,q) is an
+    exact-small-integer division. p <= 4 rows bound the recursion."""
+    from pfaedle_spark.sqlgen import PHASH
+
+    return f"""
+WITH RECURSIVE fh AS MATERIALIZED (
+  SELECT 'trip_' || CAST(doc_id % {C.N_TRIPS} AS VARCHAR) AS trip_id,
+         doc_id // {C.N_TRIPS}                            AS k,
+         (doc_id // {C.N_TRIPS}) * {C.FH_XSTEP} + {PHASH} % {C.FH_AMOD} AS x,
+         (doc_id % {C.N_TRIPS}) * {C.FH_YBASE}
+           + (({PHASH} >> 3) % {C.FH_BMOD}) * {C.FH_BSCALE} AS y,
+         {C.FH_HXBASE} + ({PHASH} >> 7) % {C.FH_HXMOD}      AS hx
+  FROM documents
+),
+hops AS MATERIALIZED (
+  SELECT trip_id,
+         ROW_NUMBER() OVER (PARTITION BY trip_id ORDER BY k) - 1 AS hop_seq,
+         x AS x1, y AS y1, hx,
+         LEAD(x) OVER (PARTITION BY trip_id ORDER BY k) AS x2,
+         LEAD(y) OVER (PARTITION BY trip_id ORDER BY k) AS y2
+  FROM fh
+  QUALIFY x2 IS NOT NULL
+),
+pts AS MATERIALIZED (
+  SELECT trip_id, hop_seq, i,
+         CASE WHEN i = 0 THEN x1
+              WHEN i = 1 THEN x1 + hx
+              WHEN i = 2 AND y2 <> y1 THEN x1 + hx
+              ELSE x2 END AS px,
+         CASE WHEN i <= 1 THEN y1 ELSE y2 END AS py
+  FROM hops, (VALUES (0), (1), (2), (3)) AS o(i)
+  WHERE i <= CASE WHEN y2 <> y1 THEN 3 ELSE 2 END
+),
+bq AS MATERIALIZED (
+  -- truth-segment densify: one exact midpoint iff len > 25 m
+  SELECT trip_id, hop_seq, x1, y1, x2, y2,
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) > 625 AS two
+  FROM hops
+),
+dmat AS MATERIALIZED (
+  SELECT p.trip_id, p.hop_seq, p.i,
+         SQRT(CAST((p.px - b.x1) * (p.px - b.x1)
+                 + (p.py - b.y1) * (p.py - b.y1) AS DOUBLE)) AS d0,
+         CASE WHEN b.two THEN SQRT(
+                (p.px - (b.x1 + b.x2) / 2.0) * (p.px - (b.x1 + b.x2) / 2.0)
+              + (p.py - (b.y1 + b.y2) / 2.0) * (p.py - (b.y1 + b.y2) / 2.0))
+              ELSE SQRT(CAST((p.px - b.x2) * (p.px - b.x2)
+                           + (p.py - b.y2) * (p.py - b.y2) AS DOUBLE))
+         END AS d1,
+         CASE WHEN b.two THEN SQRT(CAST((p.px - b.x2) * (p.px - b.x2)
+                                      + (p.py - b.y2) * (p.py - b.y2) AS DOUBLE))
+              ELSE NULL END AS d2
+  FROM pts p JOIN bq b ON b.trip_id = p.trip_id AND b.hop_seq = p.hop_seq
+),
+dp(trip_id, hop_seq, i, c0, c1, c2) AS (
+  SELECT trip_id, hop_seq, i, d0, d0 + d1,
+         CASE WHEN d2 IS NULL THEN NULL ELSE (d0 + d1) + d2 END
+  FROM dmat WHERE i = 0
+  UNION ALL
+  SELECT trip_id, hop_seq, i, c0n, c1n,
+         CASE WHEN d2 IS NULL THEN NULL ELSE LEAST(c1, c2, c1n) + d2 END
+  FROM (
+    SELECT q.*, LEAST(q.c0, q.c1, q.c0n) + q.d1 AS c1n FROM (
+      SELECT dp.trip_id, dp.hop_seq, m.i, dp.c0, dp.c1, dp.c2,
+             m.d1, m.d2, dp.c0 + m.d0 AS c0n
+      FROM dp JOIN dmat m ON m.trip_id = dp.trip_id
+              AND m.hop_seq = dp.hop_seq AND m.i = dp.i + 1
+    ) q
+  )
+),
+np AS (SELECT trip_id, hop_seq, MAX(i) AS last_i FROM pts GROUP BY 1, 2)
+SELECT dp.trip_id,
+       CAST(dp.hop_seq AS BIGINT) AS hop_seq,
+       (CASE WHEN b.two THEN dp.c2 ELSE dp.c1 END)
+         / GREATEST(np.last_i + 1, CASE WHEN b.two THEN 3 ELSE 2 END) AS acc_d_f,
+       CAST(ABS(b.x2 - b.x1) + ABS(b.y2 - b.y1) AS DOUBLE) AS len_m
+FROM dp
+JOIN np ON np.trip_id = dp.trip_id AND np.hop_seq = dp.hop_seq
+       AND dp.i = np.last_i
+JOIN bq b ON b.trip_id = dp.trip_id AND b.hop_seq = dp.hop_seq
+"""
+
+
+def _segmentize_hops_sql() -> str:
+    """W4 on the staircase world: the monotone cut positions are exact
+    integer cumulative staircase lengths (dx + |dy| per hop), so
+    start/end/seg_len are window SUMs — bit parity because float sums
+    of small integers are exact."""
+    from pfaedle_spark.sqlgen import PHASH
+
+    return f"""
+WITH fh AS (
+  SELECT 'trip_' || CAST(doc_id % {C.N_TRIPS} AS VARCHAR) AS trip_id,
+         doc_id // {C.N_TRIPS}                            AS k,
+         (doc_id // {C.N_TRIPS}) * {C.FH_XSTEP} + {PHASH} % {C.FH_AMOD} AS x,
+         (doc_id % {C.N_TRIPS}) * {C.FH_YBASE}
+           + (({PHASH} >> 3) % {C.FH_BMOD}) * {C.FH_BSCALE} AS y
+  FROM documents
+),
+hops AS (
+  SELECT trip_id, k AS stop_seq,
+         ABS(LEAD(x) OVER w - x) + ABS(LEAD(y) OVER w - y) AS hop_len
+  FROM fh WINDOW w AS (PARTITION BY trip_id ORDER BY k)
+  QUALIFY hop_len IS NOT NULL
+)
+SELECT trip_id, stop_seq,
+       CAST(COALESCE(SUM(hop_len) OVER (PARTITION BY trip_id ORDER BY stop_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS DOUBLE) AS start_pos,
+       CAST(SUM(hop_len) OVER (PARTITION BY trip_id ORDER BY stop_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS end_pos,
+       CAST(hop_len AS DOUBLE) AS seg_len
+FROM hops
+"""
+
+
 def _lifecycle_graph_sql() -> str:
     from pfaedle_spark.plans import lifecycle
 
@@ -1077,6 +1237,8 @@ FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
         "greedy2_manhattan": _greedy2_manhattan_sql(),
         "viterbi_manhattan": _viterbi_manhattan_sql(),
         "frechet_hops": _frechet_hops_sql(),
+        "acc_frechet_hops": _acc_frechet_hops_sql(),
+        "segmentize_hops": _segmentize_hops_sql(),
         "candidate_penalties": stations.candidate_penalties_sql(
             f"WITH snapped AS ({snap.snap_oracle_sql()})"
         ),

@@ -176,25 +176,16 @@ def perm_constants(num_perms: int = NUM_PERMS) -> list[tuple[int, int]]:
     return [(hh(f"{i}a") % (P31 - 1) + 1, hh(f"{i}b")) for i in range(num_perms)]
 
 
-def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
-    """(doc_id, perm, minhash): min over shingles of (a_i*h + b_i) mod p.
-
-    Array-native: the whole signature computes in one narrow projection
-    (shingle array -> hash array -> per-perm array_min) — zero shuffle;
-    the old explode(num_perms x shingles)+groupBy plan shuffled
-    |docs| x |shingles| x num_perms rows for the same result.
-    """
-    toks = F.split(F.col("text"), " ")
-    k = SHINGLE_K
-    hs = F.array_distinct(_shingle_hash_arr(toks, k))
+def _minhash_fold(hs, num_perms: int = NUM_PERMS):
+    """Signature array from a shingle-hash array column: one fold over
+    the hashes, each updating all num_perms minima (a per-perm
+    array_min would recompute the hash array once per perm — measured
+    4x slower)."""
     consts = perm_constants(num_perms)
     pa = F.array(*[F.lit(a).cast("long") for a, _ in consts])
     pb = F.array(*[F.lit(b).cast("long") for _, b in consts])
-    # single fold over the hash array: each shingle is md5-hashed ONCE
-    # and updates all num_perms minima (a per-perm array_min would
-    # recompute the md5 array once per perm — measured 4x slower).
     init = F.array_repeat(F.lit(P31).cast("long"), num_perms)
-    sigs = F.aggregate(
+    return F.aggregate(
         hs,
         init,
         lambda acc, h: F.transform(
@@ -204,9 +195,22 @@ def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame
             ),
         ),
     )
+
+
+def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash): min over shingles of (a_i*h + b_i) mod p.
+
+    Array-native: the whole signature computes in one narrow projection
+    (shingle array -> hash array -> per-perm fold) — zero shuffle; the
+    old explode(num_perms x shingles)+groupBy plan shuffled
+    |docs| x |shingles| x num_perms rows for the same result.
+    """
+    toks = F.split(F.col("text"), " ")
+    k = SHINGLE_K
+    hs = F.array_distinct(_shingle_hash_arr(toks, k))
     return (
         docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.posexplode(sigs).alias("perm", "minhash"))
+        .select("doc_id", F.posexplode(_minhash_fold(hs, num_perms)).alias("perm", "minhash"))
     )
 
 
@@ -372,21 +376,58 @@ def dedup_chain(docs: DataFrame) -> DataFrame:
     re-derive shingles and signatures so their oracles stay
     self-contained — composing them naively computes the signature
     table twice and the shingle table three times. At 10^12 docs that
-    recomputation IS the bill, so the production chain materializes
-    shingles, signatures and the pair list once (EAGER localCheckpoint:
-    each materialization is its own fully-parallel job at a
-    deterministic point — the lazy form materializes whenever AQE's
-    .rdd access inside a downstream plan build first touches it, which
-    made per-stage timings unattributable) and feeds every downstream
-    join from the checkpointed tables.
+    recomputation IS the bill, so the production chain materializes a
+    single per-doc (hash array, signature array) table and the pair
+    list once (EAGER localCheckpoint: each materialization is its own
+    fully-parallel job at a deterministic point — the lazy form
+    materializes whenever AQE's .rdd access inside a downstream plan
+    build first touches it, which made per-stage timings
+    unattributable) and scores pairs with array expressions over it.
 
     Output: kind='exact' rows (a=doc_id, b=canonical_id,
     metric=group_size) unioned with kind='pair' rows (a=doc_a, b=doc_b,
     est_jaccard, metric=exact jaccard).
     """
-    sh = shingles(docs).localCheckpoint(eager=True)
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
-    bands = lsh_bands(sig)
+    # hash every token ONCE and stay ARRAY-NATIVE end to end: the
+    # md5-per-token rolling hash is the dominant CPU of the family, and
+    # shingles()/minhash_signatures() each re-derive it from text; the
+    # exploded-row scoring joins (64 sig rows + |shingles| rows per doc)
+    # then dominate the tail with many small AQE stages. The chain
+    # instead checkpoints ONE table of per-doc (shingle-hash array,
+    # signature array); bands come from md5 over signature SLICES, and
+    # the per-pair scores are zip_with/array_intersect column
+    # expressions over exactly two array lookups — per pair the shuffle
+    # carries 2 arrays, not 64+|shingles| rows. Measured at sf0.1 x96,
+    # local[8]: throughput +52% over the exploded-row chain and N->4N
+    # 0.66 -> 0.77 (full decomposition in SCALING.md round-4 notes).
+    toks = F.split(F.col("text"), " ")
+    arr = (
+        docs.filter(F.size(toks) >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.array_distinct(_shingle_hash_arr(toks, SHINGLE_K)).alias("hs"),
+        )
+        .withColumn("sig", _minhash_fold(F.col("hs")))
+        .localCheckpoint(eager=True)
+    )
+    # integer band signatures: the same rolling polynomial as the
+    # shingle hash, folded over each signature SLICE — an 8-byte join
+    # key instead of lsh_bands' 32-char md5 string (1 string build + 1
+    # md5 per band-row saved; the self-join compares longs). Collisions
+    # in the 2^31 space add a few deterministic spurious candidate
+    # pairs per million docs — identical in both engines (the oracle
+    # folds the same polynomial via list_reduce), and spurious pairs
+    # just score near-0 like any LSH false positive.
+    rows = NUM_PERMS // BANDS
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("sig"), b * rows + 1, rows),
+            F.lit(0).cast("long"),
+            lambda acc, mh: (acc * ROLL_B + mh) % P31,
+        ),
+    )
+    bands = arr.select("doc_id", F.posexplode(band_arr).alias("band", "band_sig"))
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     pairs = (
@@ -397,54 +438,48 @@ def dedup_chain(docs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # score only pair MEMBERS: the pair list is sparse, so shuffling the
-    # full signature/shingle tables into the est/inter joins moves
-    # mostly-dead rows — at 10^12 docs that full-table shuffle IS the
-    # job. A broadcast semi-join on the (small) pair-member list drops
-    # both tables map-side before any exchange.
+    # full array table into the scoring joins moves mostly-dead rows —
+    # at 10^12 docs that full-table shuffle IS the job. A broadcast
+    # semi-join on the (small) pair-member list drops it map-side
+    # before any exchange.
     pair_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sig = sig.join(F.broadcast(pair_docs), "doc_id", "left_semi")
-    sh = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
-    est = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")) / F.lit(NUM_PERMS))
-            .alias("est_jaccard")
-        )
+    m = arr.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    pa = m.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_hash")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_hash")
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "sh_hash"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
+    pb = m.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
     )
-    exact_j = (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    pair_rows = (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
-            "doc_a", "doc_b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-            .alias("jaccard"),
+            F.lit("pair").alias("kind"),
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(NUM_PERMS)
+            ).alias("est_jaccard"),
+            (
+                n_inter
+                / (F.size("hs_a") + F.size("hs_b") - n_inter)
+            ).alias("metric"),
         )
-    )
-    pair_rows = est.join(exact_j, ["doc_a", "doc_b"]).select(
-        F.lit("pair").alias("kind"),
-        F.col("doc_a").alias("a"),
-        F.col("doc_b").alias("b"),
-        "est_jaccard",
-        F.col("jaccard").alias("metric"),
     )
     exact_rows = exact_dedup(docs).select(
         F.lit("exact").alias("kind"),
@@ -459,8 +494,18 @@ def dedup_chain(docs: DataFrame) -> DataFrame:
 def dedup_chain_sql() -> str:
     """Oracle for the composed chain: the same single CTE chain feeds
     exact dedup, the pair estimate and the exact Jaccard — mirroring
-    how the Spark side shares shingles/sig/pairs."""
-    return f"""WITH {_bands_cte().lstrip()},
+    how the Spark side shares the hash/signature arrays. Bands fold the
+    chain's integer polynomial over the per-band minhashes in perm
+    order (list_reduce seed = first element ≡ Spark's 0-init fold,
+    since (0*B + x) % P = x)."""
+    rows = NUM_PERMS // BANDS
+    return f"""WITH {_minhash_cte().lstrip()},
+bands AS (
+  SELECT doc_id, CAST(perm // {rows} AS INT) AS band,
+         LIST_REDUCE(LIST(minhash ORDER BY perm),
+                     (a, b) -> (a * {ROLL_B} + b) % {P31}) AS band_sig
+  FROM sig GROUP BY doc_id, perm // {rows}
+),
 cand_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig

@@ -248,6 +248,60 @@ def frechet_hops(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
     )
 
 
+def acc_frechet_hops(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
+    """Per-hop ACCUMULATED Fréchet (reference Geo.h:1602-1627, the
+    ``accFrechet`` eval column): same hop cutting as ``frechet_hops``,
+    but the DP sums per-step coupling distances and normalizes by the
+    densified point count instead of taking the max. Runs the full
+    kernel — projection scan, sub-polyline extraction, 25 m densify,
+    accumulated DP — so the only remaining un-SQL-oracled Fréchet
+    variant becomes bit-checkable on the staircase world.
+
+    Output one row per hop: (trip_id, hop_seq, acc_d_f, len_m)."""
+    a = (
+        aligned_xy.select("trip_id", "seq", "x", "y")
+        .withColumn("side", F.lit(0))
+        .withColumnRenamed("seq", "ord")
+    )
+    s = stops_xy.select(
+        "trip_id", F.col("stop_seq").alias("ord"), "x", "y"
+    ).withColumn("side", F.lit(1))
+    both = a.unionByName(s)
+
+    cols = ["trip_id", "hop_seq", "acc_d_f", "len_m"]
+
+    def per_trip(pdf: pd.DataFrame) -> pd.DataFrame:
+        line = pdf[pdf["side"] == 0].sort_values("ord")
+        stops = pdf[pdf["side"] == 1].sort_values("ord")
+        if len(line) < 2 or len(stops) < 2:
+            return pd.DataFrame(columns=cols)
+        xs, ys = line["x"].to_numpy(float), line["y"].to_numpy(float)
+        spx = stops["x"].to_numpy(float)
+        spy = stops["y"].to_numpy(float)
+        pos, seg_len, cum = _cut_positions(xs, ys, spx, spy)
+        rows = []
+        for i in range(len(pos) - 1):
+            sx, sy = _sub_polyline(xs, ys, seg_len, cum, pos[i], pos[i + 1])
+            tx = np.array([spx[i], spx[i + 1]])
+            ty = np.array([spy[i], spy[i + 1]])
+            adf = float(acc_frechet_dist(sx, sy, tx, ty))
+            ln = float(np.hypot(np.diff(sx), np.diff(sy)).sum())
+            rows.append((pdf["trip_id"].iloc[0], i, adf, ln))
+        return pd.DataFrame(rows, columns=cols)
+
+    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        both.repartition(n_part, "trip_id")
+        .groupBy("trip_id")
+        .applyInPandas(
+            per_trip,
+            schema=(
+                "trip_id string, hop_seq long, acc_d_f double, len_m double"
+            ),
+        )
+    )
+
+
 def segmentize(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
     """W4: cut each trip's matched polyline at the ordered projections
     of its stops; output one row per hop with the sub-polyline length.

@@ -171,6 +171,44 @@ def test_frechet_hops_matches_recursive_cte_oracle(spark):
     )
 
 
+def test_acc_frechet_hops_matches_recursive_cte_oracle(spark):
+    """The ACCUMULATED Fréchet kernel (Geo.h:1602-1627) per hop against
+    its recursive-CTE oracle: the 25 m densify grid is identity on the
+    staircase sub-polyline and inserts exactly one integer-half midpoint
+    on >25 m truth segments (integer dx^2+dy^2 > 625 test), so the
+    summed DP and the /max(p,q) normalization are bit-identical."""
+    assert_matches_oracle(
+        entrymod.queries()["acc_frechet_hops"](spark, SF_DIR),
+        entrymod.oracle_sql()["acc_frechet_hops"],
+    )
+
+
+def test_segmentize_hops_matches_window_sum_oracle(spark):
+    """W4 on the staircase world: ordered projectOnAfter cut positions
+    are exact integer cumulative lengths, so the full projection-scan
+    kernel checks bit-exactly against a window-SUM oracle."""
+    assert_matches_oracle(
+        entrymod.queries()["segmentize_hops"](spark, SF_DIR),
+        entrymod.oracle_sql()["segmentize_hops"],
+    )
+
+
+def test_acc_frechet_hops_semantics(spark):
+    """acc_d_f is a per-step AVERAGE coupling distance. Provable bound
+    vs the max variant on the same hop: the acc-optimal sum <= the sum
+    along the max-optimal coupling <= steps * d_f, and steps
+    (p+q-1) < 2*max(p,q), so acc_d_f < 2*d_f. Note the naive
+    acc <= d_f does NOT hold (the divisor is max(p,q), not the step
+    count). Both variants see identical hop cuts (len_m equal)."""
+    acc = entrymod.queries()["acc_frechet_hops"](spark, SF_DIR).toPandas()
+    mx = entrymod.queries()["frechet_hops"](spark, SF_DIR).toPandas()
+    assert len(acc) == len(mx) > 0
+    m = acc.merge(mx, on=["trip_id", "hop_seq"])
+    assert (m["acc_d_f"] >= 0).all()
+    assert (m["len_m_x"] == m["len_m_y"]).all()
+    assert (m["acc_d_f"] < 2.0 * m["d_f"] + 1e-9).all()
+
+
 def test_frechet_hops_per_hop_semantics(spark):
     """Per-hop get_da granularity: hop lengths tile the clipped aligned
     polyline, d_f >= 0, unmatched <=> d_f >= 20; the A_N/A_L aggregate

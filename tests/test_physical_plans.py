@@ -36,6 +36,21 @@ def test_relational_queries_have_no_python_eval(spark):
         assert "PythonUDF" not in plan, f"{name} uses row-at-a-time Python"
 
 
+def test_dedup_chain_plan_is_array_native(spark):
+    """The chain's scoring stage must carry per-doc ARRAYS through two
+    joins and score with array expressions — not re-explode 64 sig rows
+    + |shingles| rows per doc into a cascade of small AQE stages (the
+    shape that measured 0.57 tail scaling; SCALING.md round-4 notes).
+    Also: no Python anywhere in the chain."""
+    plan = plan_of(_q("dedup_chain", spark))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "array_intersect" in plan and "zip_with" in plan
+    # the scoring side reads the checkpointed array table directly: no
+    # Generate (explode) anywhere in the final plan — per pair the join
+    # moves 2 arrays, never 64 sig rows + |shingles| shingle rows
+    assert "Generate" not in plan
+
+
 def test_tile_assign_is_narrow(spark):
     """Pure projection: no exchange, no aggregate — pushdown-friendly."""
     plan = plan_of(_q("tile_assign", spark))

@@ -119,10 +119,15 @@ elif mode == "flagship":
         return cells.tile_assign(aligned.join(p.select("image_id", "x", "y"), "image_id"))
 
 
-# warmup on a tiny slice: compiles every codegen stage, spawns the
-# python workers, ships the broadcast — throughput measures the job,
-# not JVM/worker cold start (excluded identically at both core counts)
-pipeline(data.limit(2000).localCheckpoint(eager=True)).write.format("noop").mode("overwrite").save()
+# warmup: compiles every codegen stage, spawns the python workers,
+# ships the broadcast — throughput measures the job, not JVM/worker
+# cold start (excluded identically at both core counts). The dedup
+# chain needs a LARGER warm slice: its hot loops (md5-per-token +
+# 64-way minhash fold) only reach C2 JIT after ~10^4 docs, and a
+# cold-loop timed run inflates the small-core wall asymmetrically
+# (the JVM's compiler threads run beside the 2 executor threads).
+warm_n = 30000 if mode == "dedup" else 2000
+pipeline(data.limit(warm_n).localCheckpoint(eager=True)).write.format("noop").mode("overwrite").save()
 
 t0 = time.perf_counter()
 pipeline(data).write.format("noop").mode("overwrite").save()
