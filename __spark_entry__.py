@@ -1,13 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship pipeline smoke at sf0.001.
-``queries()``   — one callable per implemented operator (82 queries:
+``queries()``   — one callable per implemented operator (84 queries:
                   a priority tier of new/never-driver-graded ones, then
                   the other SQL-oracled ones rotated deterministically
                   by round so each re-enters the driver's grading
                   window, rows-only last; the SURVEY.md §2 map is
                   COVERAGE.md).
-``oracle_sql()``— DuckDB-equivalent SQL per query (72 bit-identical
+``oracle_sql()``— DuckDB-equivalent SQL per query (74 bit-identical
                   oracles, incl. recursive-CTE oracles for the
                   Manhattan-variant greedy2/Viterbi DPs, the per-hop
                   Fréchet Eiter/Mannila DP (max AND accumulated-sum
@@ -550,6 +550,30 @@ def _q_segmentize_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalmetrics.segmentize(datagen.fh_aligned(spark, sf_dir), stops)
 
 
+def _q_eval_hops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 print_stats with the reference's real denominators (A_N counts
+    HOPS, A_L sums hop lengths — collector.cpp:441-462), composed over
+    the staircase per-hop Fréchet DP so the entire derivation down to
+    the global shares is SQL-oracled (order-independent aggregates only;
+    see EVAL_HOPS_EXPRS)."""
+    stops = datagen.fh_stops(spark, sf_dir).select(
+        "trip_id", "stop_seq", "x", "y"
+    )
+    hops = evalmetrics.frechet_hops(datagen.fh_aligned(spark, sf_dir), stops)
+    return evalmetrics.eval_hops_summary(hops)
+
+
+def _q_df_histogram_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 d_f histogram (EVAL_DF_BINS, collector.cpp:136-192) over the
+    per-hop DP rows — the binning CASE chain and grouped unmatched
+    counts check bit-exactly against the recursive-CTE oracle."""
+    stops = datagen.fh_stops(spark, sf_dir).select(
+        "trip_id", "stop_seq", "x", "y"
+    )
+    hops = evalmetrics.frechet_hops(datagen.fh_aligned(spark, sf_dir), stops)
+    return evalmetrics.df_histogram(hops)
+
+
 def _q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 global summary row: A_N/N, length-weighted A_L/L, d_f spread
     (collector::print_stats, collector.cpp:389-439). The d_f kernel is
@@ -620,6 +644,7 @@ _ROWS_ONLY = [
 # queries never graded in r1-r3, plus this round's new oracles.
 _PRIORITY = [
     "frechet_hops", "acc_frechet_hops", "segmentize_hops",
+    "eval_hops_summary", "df_histogram_hops",
     "lifecycle_candidates", "dedup_chain",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
@@ -723,6 +748,8 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_hops": _q_frechet_hops,
         "acc_frechet_hops": _q_acc_frechet_hops,
         "segmentize_hops": _q_segmentize_hops,
+        "eval_hops_summary": _q_eval_hops_summary,
+        "df_histogram_hops": _q_df_histogram_hops,
         "trip_debug": _q_trip_debug,
         "images_meta": _q_images_meta,
         "image_decode_stats": _q_image_decode_stats,
@@ -1239,6 +1266,12 @@ FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
         "frechet_hops": _frechet_hops_sql(),
         "acc_frechet_hops": _acc_frechet_hops_sql(),
         "segmentize_hops": _segmentize_hops_sql(),
+        "eval_hops_summary": evalmetrics.eval_hops_summary_sql(
+            f"({_frechet_hops_sql()})"
+        ),
+        "df_histogram_hops": evalmetrics.df_histogram_sql(
+            f"({_frechet_hops_sql()})"
+        ),
         "candidate_penalties": stations.candidate_penalties_sql(
             f"WITH snapped AS ({snap.snap_oracle_sql()})"
         ),

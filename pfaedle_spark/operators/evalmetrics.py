@@ -119,6 +119,71 @@ def eval_summary_sql(per_trip_rel: str) -> str:
     return f"SELECT {cols}\nFROM {per_trip_rel}"
 
 
+# print_stats at the per-hop granularity (collector.cpp:389-439 over
+# collector::get_da rows). Deliberately a SUBSET of EVAL_SUMMARY_EXPRS:
+# no AVG(d_f) — summing irrational doubles is ORDER-dependent rounding,
+# and this row is driven against a DuckDB oracle whose sum order differs
+# from Spark's partial aggregation; COUNT / MIN / MAX and the
+# integer-valued length sums are order-independent, and the two share
+# divisions divide exactly-representable values, so the row is
+# bit-identical across engines and partitionings.
+EVAL_HOPS_EXPRS: list[tuple[str, str]] = [
+    ("n_hops", "COUNT(*)"),
+    ("n_unmatched", "SUM(CASE WHEN unmatched THEN 1 ELSE 0 END)"),
+    ("an_share",
+     "CAST(SUM(CASE WHEN unmatched THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"),
+    ("total_len", "SUM(len_m)"),
+    ("unmatched_len", "SUM(CASE WHEN unmatched THEN len_m ELSE 0.0 END)"),
+    ("al_share",
+     "SUM(CASE WHEN unmatched THEN len_m ELSE 0.0 END) / SUM(len_m)"),
+    ("min_d_f", "MIN(d_f)"),
+    ("max_d_f", "MAX(d_f)"),
+]
+
+
+def eval_hops_summary(hops: DataFrame) -> DataFrame:
+    """A6 print_stats over PER-HOP rows (A_N counts hops, A_L sums hop
+    lengths — the reference's real denominators, collector.cpp:441-462):
+    one row of A_N/N, length-weighted A_L/L and the d_f spread. Fed by
+    ``frechet_hops`` on the staircase world, the whole derivation —
+    projection scan, per-hop Eiter/Mannila DP, global shares — is
+    SQL-oracled end to end."""
+    return hops.agg(
+        *[
+            F.expr(sql)
+            .cast("double" if name.endswith(("share", "len", "d_f")) else "long")
+            .alias(name)
+            for name, sql in EVAL_HOPS_EXPRS
+        ]
+    )
+
+
+def eval_hops_summary_sql(rel: str) -> str:
+    """The identical aggregate as DuckDB SQL over a per-hop relation
+    (a parenthesized subquery or table name with d_f/len_m/unmatched)."""
+    cols = ",\n       ".join(
+        f"CAST({sql} AS {'DOUBLE' if name.endswith(('share', 'len', 'd_f')) else 'BIGINT'}) AS {name}"
+        for name, sql in EVAL_HOPS_EXPRS
+    )
+    return f"SELECT {cols}\nFROM {rel} h"
+
+
+def df_histogram_sql(rel: str) -> str:
+    """``df_histogram`` as DuckDB SQL over a per-hop relation: the same
+    first-match bin CASE (smallest DF_BINS edge >= d_f) and grouped
+    counts — comparisons of the d_f double against integer-valued edges
+    are bit-identical in both engines."""
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d_f <= {e} THEN CAST({e} AS DOUBLE)" for e in DF_BINS)
+        + " ELSE NULL END"
+    )
+    return f"""SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN unmatched THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM (SELECT {case} AS bin, unmatched FROM {rel} h) b
+GROUP BY bin"""
+
+
 def df_histogram(evaled: DataFrame) -> DataFrame:
     """Global eval statistics: histogram of d_f over DF_BINS plus the
     unmatched share A_N/N (collector::print_stats :389-439)."""

@@ -172,6 +172,88 @@ def filtered_osm_sink(
     kept_nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
 
 
+def overpass_query_xml(
+    cfgs, boxes: list[tuple[float, float, float, float]]
+) -> str:
+    """S4 (-X variant): emit an Overpass-API ``osm-script`` query that
+    fetches exactly the entities the merged MOT keep-filters match
+    inside the given lat/lng boxes (reference
+    ``osm_builder::overpass_query_write``, ``osm_builder.cpp:241-327``).
+
+    Semantics mirrored from the reference:
+
+    - keep rules of all configs MERGE per key into a (val, flags) set
+      (``osm_filter::merge``, ``osm_filter.cpp:218-246``);
+    - one ``<query type=t><has-kv .../><bbox-query .../></query>`` per
+      (box leaf x type x rule), with ``v`` omitted for wildcard rules;
+    - a rule flagged ``no_match_ways``/``no_match_nds``/
+      ``no_match_rels`` emits NO query of that type (the reference's
+      ``val.second & WAY/NODE/REL`` skip — NO_WAYS==WAY==8 etc.,
+      ``osm_read_options.h:52-54``);
+    - degenerate boxes (west > east) are dropped;
+    - the trailing ``<union><item/><recurse type=down/></union>``
+      closure pulls each matched way/relation's members, then
+      ``<print/>``.
+
+    ``boxes`` are (south, west, north, east) in lat/lng. Driver-side
+    string emit, like the reference (a query FILE is the output — there
+    is nothing to distribute).
+    """
+    from ..motconfig import _KIND_FLAG, NODE, RELATION, WAY
+
+    merged: dict[str, set] = {}
+    for cfg in cfgs:
+        for r in cfg.filters.get("osm_filter_keep", []):
+            merged.setdefault(r.key, set()).add((r.val, frozenset(r.flags)))
+
+    def esc(s: str) -> str:
+        return (
+            str(s)
+            .replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace('"', "&quot;")
+        )
+
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    out.append("<!-- - written by pfaedle-spark - -->")
+    out.append("<osm-script>")
+    out.append("    <union>")
+    c = 0
+    for s, w, n, e in boxes:
+        if w > e:
+            continue
+        c += 1
+        out.append(f"        <!-- Bounding box #{c} ({s}, {w}, {n}, {e}) -->")
+        for t in (WAY, NODE, RELATION):
+            for key in sorted(merged):
+                for val, flags in sorted(merged[key]):
+                    if _KIND_FLAG[t] in flags:
+                        continue
+                    out.append(f'        <query type="{t}">')
+                    kv = f'k="{esc(key)}"' if val == "*" else f'k="{esc(key)}" v="{esc(val)}"'
+                    out.append(f"            <has-kv {kv}/>")
+                    out.append(
+                        f'            <bbox-query s="{s}" w="{w}" n="{n}" e="{e}"/>'
+                    )
+                    out.append("        </query>")
+    out.append("    </union>")
+    out.append("    <union>")
+    out.append("        <item/>")
+    out.append('        <recurse type="down"/>')
+    out.append("    </union>")
+    out.append("    <print/>")
+    out.append("</osm-script>")
+    return "\n".join(out) + "\n"
+
+
+def write_overpass_query(
+    path: str, cfgs, boxes: list[tuple[float, float, float, float]]
+) -> None:
+    """S4 sink: write the Overpass query file (``pfaedle -X`` mode)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(overpass_query_xml(cfgs, boxes))
+
+
 def geojson_sink(df: DataFrame, x: str = "x", y: str = "y", props: list[str] | None = None) -> str:
     """S6: small driver-side GeoJSON FeatureCollection (debug output,
     reference ``GeoGraphJsonOutput.h:31-117``)."""

@@ -193,6 +193,29 @@ def test_segmentize_hops_matches_window_sum_oracle(spark):
     )
 
 
+def test_eval_hops_summary_matches_composed_oracle(spark):
+    """print_stats composed over the per-hop DP: A_N/N, A_L/L and the
+    d_f spread check bit-exactly (order-independent aggregates over
+    exactly-representable values — see EVAL_HOPS_EXPRS)."""
+    assert_matches_oracle(
+        entrymod.queries()["eval_hops_summary"](spark, SF_DIR),
+        entrymod.oracle_sql()["eval_hops_summary"],
+    )
+
+
+def test_df_histogram_hops_matches_composed_oracle(spark):
+    """EVAL_DF_BINS histogram over the per-hop DP rows vs the CASE-chain
+    oracle; also: shares reconcile with the summary row."""
+    assert_matches_oracle(
+        entrymod.queries()["df_histogram_hops"](spark, SF_DIR),
+        entrymod.oracle_sql()["df_histogram_hops"],
+    )
+    hist = entrymod.queries()["df_histogram_hops"](spark, SF_DIR).toPandas()
+    summ = entrymod.queries()["eval_hops_summary"](spark, SF_DIR).toPandas()
+    assert hist["n"].sum() == summ["n_hops"].iloc[0]
+    assert hist["n_unmatched"].sum() == summ["n_unmatched"].iloc[0]
+
+
 def test_acc_frechet_hops_semantics(spark):
     """acc_d_f is a per-step AVERAGE coupling distance. Provable bound
     vs the max variant on the same hop: the acc-optimal sum <= the sum

@@ -205,3 +205,61 @@ def test_iceberg_table_resolution_rules(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="multiple Iceberg catalogs"):
         ice.read_images(TwoSpark(), SF_DIR)
+
+
+def test_overpass_query_sink(tmp_path):
+    """S4 (osm_builder::overpass_query_write, osm_builder.cpp:241-327):
+    merged keep rules x live boxes x entity types, with no_match_*
+    flags suppressing their type, wildcard rules omitting v, degenerate
+    boxes dropped, and the item/recurse-down/print closure."""
+    import xml.etree.ElementTree as ET
+
+    from pfaedle_spark import motconfig as MC
+    from pfaedle_spark.sources import osm
+
+    cfgs = MC.parse_cfg()
+    use = [cfgs["rail"], cfgs["bus"]]  # bus has no filters: merge no-op
+    boxes = [(47.0, 8.0, 48.0, 9.0), (50.0, 11.0, 51.0, 10.0)]  # 2nd w>e
+    p = tmp_path / "query.xml"
+    osm.write_overpass_query(str(p), use, boxes)
+    root = ET.fromstring(p.read_text())
+    assert root.tag == "osm-script"
+    unions = root.findall("union")
+    queries = unions[0].findall("query")
+
+    merged: dict[str, set] = {}
+    for cfg in use:
+        for r in cfg.filters.get("osm_filter_keep", []):
+            merged.setdefault(r.key, set()).add((r.val, frozenset(r.flags)))
+    n_expected = sum(
+        sum(
+            1
+            for t in (MC.WAY, MC.NODE, MC.RELATION)
+            if MC._KIND_FLAG[t] not in flags
+        )
+        for vals in merged.values()
+        for _, flags in vals
+    )
+    assert len(queries) == n_expected > 0  # exactly one LIVE box
+    for q in queries:
+        kv, bb = q.find("has-kv"), q.find("bbox-query")
+        assert kv is not None and kv.get("k")
+        # box attrs come from the single live box
+        assert [bb.get(a) for a in "swne"] == ["47.0", "8.0", "48.0", "9.0"]
+    # closure union + print (overpass recurse-down pulls way/rel members)
+    assert unions[1].find("item") is not None
+    assert unions[1].find("recurse").get("type") == "down"
+    assert root.find("print") is not None
+
+    # pin the flag-skip + wildcard-v behavior with a synthetic rule
+    syn = MC.MotConfig(
+        filters={
+            "osm_filter_keep": [
+                MC.FilterRule(key="railway", val="*", flags={"no_match_ways"})
+            ]
+        }
+    )
+    r2 = ET.fromstring(osm.overpass_query_xml([syn], [(1.0, 2.0, 3.0, 4.0)]))
+    qs2 = r2.find("union").findall("query")
+    assert sorted(q.get("type") for q in qs2) == ["node", "relation"]
+    assert all(q.find("has-kv").get("v") is None for q in qs2)
