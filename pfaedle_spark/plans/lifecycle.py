@@ -34,13 +34,31 @@ from ..operators import graph_ops, graph_passes, snap
 from .checkpoint import CheckpointedPipeline
 
 
+_COMPOSED_MEMO: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
 def composed_graph(
     spark: SparkSession,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """fix_gaps -> snap_with_splits -> orphan prune -> collapse, with
     node/edge bookkeeping: snapped nodes become station nodes, split
     projection nodes join the node table, final edges re-acquire
-    endpoint coordinates. Returns (final_nodes, final_edges, snaps)."""
+    endpoint coordinates. Returns (final_nodes, final_edges, snaps).
+
+    Memoized per session (same rationale as
+    ``edge_routing.build_variant_transitions``): the prefix is a
+    deterministic function of the static graph, and three consumers
+    run it in one session (``lifecycle_graph``, ``lifecycle_candidates``,
+    the checkpointed run) — re-paying the multi-round snap/collapse
+    loops per invocation is pure waste. The returned frames end at
+    eager localCheckpoints, so reuse is a metadata read; the memo dies
+    with the context (keyed on applicationId + startTime)."""
+    from ..operators.routing import session_token
+
+    tok = session_token(spark)
+    hit = _COMPOSED_MEMO.get(tok)
+    if hit is not None:
+        return hit
     nd = datagen.nodes(spark)
     e0 = datagen.edges(spark)
     # cut the remap-join lineage before the snap loop: each of the 3
@@ -96,8 +114,12 @@ def composed_graph(
             "edge_id", "src", "dst", "x1", "y1", "x2", "y2",
             "level", "oneway", "length",
         )
+        # cut the coordinate-re-join lineage too: every memo reader
+        # (candidate join, router, sink) starts from materialized edges
+        .localCheckpoint(eager=True)
     )
-    return nodes_f, edges_f, snaps
+    _COMPOSED_MEMO[tok] = (nodes_f, edges_f, snaps)
+    return _COMPOSED_MEMO[tok]
 
 
 def lifecycle_graph_sql(final_select: bool = True) -> str:
