@@ -305,6 +305,21 @@ def _q_lifecycle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.candidate_edges(datagen.points(spark, sf_dir), edges_f)
 
 
+def _q_lifecycle_penalties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 the emission side one stage deeper still: the A5 penalty
+    model (station_group.cpp:56-93) over the LIFECYCLE's OWN snap set
+    (the J7 split rounds inside the composed graph, not the standalone
+    J6 match) — the oracle chain crosses graph build -> snap rounds ->
+    track provenance -> emission penalties in one SQL statement."""
+    from pfaedle_spark.plans import lifecycle
+
+    _, _, snaps = lifecycle.composed_graph(spark)
+    return stations.candidate_penalties(
+        snaps.select("stop_id", "node_id", "dist"),
+        osmfilter.edge_tracks(spark, sf_dir),
+    )
+
+
 def _q_collapse_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 full fidelity: degree-2 contraction CONCATENATING the edge
     polylines per the 4 orientation cases (graph.cpp:290-334), flattened
@@ -680,7 +695,7 @@ _ROWS_ONLY = [
 _PRIORITY = [
     "frechet_hops", "acc_frechet_hops", "segmentize_hops",
     "eval_hops_summary", "df_histogram_hops",
-    "lifecycle_candidates", "dedup_chain",
+    "lifecycle_candidates", "lifecycle_penalties", "dedup_chain",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -753,6 +768,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_geoms": _q_collapse_geoms,
         "lifecycle_graph": _q_lifecycle_graph,
         "lifecycle_candidates": _q_lifecycle_candidates,
+        "lifecycle_penalties": _q_lifecycle_penalties,
         "simplify_geoms": _q_simplify_geoms,
         "shape_refcount": _q_shape_refcount,
         "edge_lines": _q_edge_lines,
@@ -1195,6 +1211,20 @@ FROM cand
 """
 
 
+def _lifecycle_penalties_sql() -> str:
+    """The lifecycle CTE chain's ``snaps_all`` (stop -> node across the
+    J7 split rounds) rewritten as the penalty oracle's ``snapped``
+    relation, then the A5 penalty template (dist*fac + trackPen +
+    nonOsmPen with G10 ntracks provenance) on top."""
+    from pfaedle_spark.plans import lifecycle
+
+    head = (
+        lifecycle.lifecycle_graph_sql(final_select=False)
+        + ",\nsnapped AS (SELECT stop_id, node_id, dist FROM snaps_all)"
+    )
+    return stations.candidate_penalties_sql(head)
+
+
 def _hop_paths_sql() -> str:
     """Shared by hop_shortest_paths and hop_paths_cogrouped — identical
     semantics, different physical plans (broadcast CSR vs component
@@ -1329,6 +1359,7 @@ edges_pruned AS (
         ),
         "lifecycle_graph": _lifecycle_graph_sql(),
         "lifecycle_candidates": _lifecycle_candidates_sql(),
+        "lifecycle_penalties": _lifecycle_penalties_sql(),
         "collapse_geoms": graph_passes.collapse_edges_sql(
             sqlgen.with_ctes("nodes", "edges")
             + """,

@@ -208,3 +208,17 @@ def test_lifecycle_candidates_matches_composed_oracle(spark):
         entrymod.queries()["lifecycle_candidates"](spark, SF_DIR),
         entrymod.oracle_sql()["lifecycle_candidates"],
     )
+
+
+def test_lifecycle_penalties_matches_composed_oracle(spark):
+    """§3.1 crossing graph -> snap rounds -> emission penalties: the A5
+    penalty model over the lifecycle's OWN snap set (J7 split rounds)
+    must match the single SQL chain (lifecycle CTEs -> snaps_all ->
+    ntracks provenance -> penalty template)."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        entrymod.queries()["lifecycle_penalties"](spark, SF_DIR),
+        entrymod.oracle_sql()["lifecycle_penalties"],
+    )
