@@ -320,6 +320,23 @@ def _q_lifecycle_penalties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lifecycle_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 G7 over the composed graph: min-node-id component labels on
+    the lifecycle's collapsed, re-coordinated edges (the component
+    labels the router's ∞-gate actually consults). Unlike the standalone
+    `connected_components` (closed-form river-split oracle on the intact
+    grid), this one is checked against an honest transitive-closure
+    recursive CTE over the composed `lcedges` — collapse/orphan rounds
+    make the closed form unusable, so the oracle does real graph
+    reachability."""
+    from pfaedle_spark.plans import lifecycle
+
+    nodes_f, edges_f, _ = lifecycle.composed_graph(spark)
+    return graph_ops.connected_components(
+        nodes_f.select("node_id"), edges_f
+    )
+
+
 def _q_collapse_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 full fidelity: degree-2 contraction CONCATENATING the edge
     polylines per the 4 orientation cases (graph.cpp:290-334), flattened
@@ -695,7 +712,8 @@ _ROWS_ONLY = [
 _PRIORITY = [
     "frechet_hops", "acc_frechet_hops", "segmentize_hops",
     "eval_hops_summary", "df_histogram_hops",
-    "lifecycle_candidates", "lifecycle_penalties", "dedup_chain",
+    "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
+    "dedup_chain",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -769,6 +787,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifecycle_graph": _q_lifecycle_graph,
         "lifecycle_candidates": _q_lifecycle_candidates,
         "lifecycle_penalties": _q_lifecycle_penalties,
+        "lifecycle_components": _q_lifecycle_components,
         "simplify_geoms": _q_simplify_geoms,
         "shape_refcount": _q_shape_refcount,
         "edge_lines": _q_edge_lines,
@@ -1211,6 +1230,33 @@ FROM cand
 """
 
 
+def _lifecycle_components_sql() -> str:
+    """Min-label components over the composed graph as a transitive
+    closure: recursive reach (node, root) over the undirected lcedges,
+    then MIN(root) per node — nodes outside the collapsed edge set keep
+    their own id, exactly like the engine's left-join min-propagation."""
+    from pfaedle_spark.plans import lifecycle
+
+    head = lifecycle.lifecycle_graph_sql(final_select=False)
+    return head + """,
+und AS (
+  SELECT src AS a, dst AS b FROM lcedges
+  UNION
+  SELECT dst AS a, src AS b FROM lcedges
+),
+reach AS (
+  SELECT * FROM (
+    WITH RECURSIVE r(node_id, root) AS (
+      SELECT node_id, node_id FROM nodesf
+      UNION
+      SELECT u.b, r.root FROM r JOIN und u ON u.a = r.node_id
+    ) SELECT node_id, root FROM r
+  )
+)
+SELECT node_id, MIN(root) AS label FROM reach GROUP BY node_id
+"""
+
+
 def _lifecycle_penalties_sql() -> str:
     """The lifecycle CTE chain's ``snaps_all`` (stop -> node across the
     J7 split rounds) rewritten as the penalty oracle's ``snapped``
@@ -1360,6 +1406,7 @@ edges_pruned AS (
         "lifecycle_graph": _lifecycle_graph_sql(),
         "lifecycle_candidates": _lifecycle_candidates_sql(),
         "lifecycle_penalties": _lifecycle_penalties_sql(),
+        "lifecycle_components": _lifecycle_components_sql(),
         "collapse_geoms": graph_passes.collapse_edges_sql(
             sqlgen.with_ctes("nodes", "edges")
             + """,

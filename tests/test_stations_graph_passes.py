@@ -222,3 +222,16 @@ def test_lifecycle_penalties_matches_composed_oracle(spark):
         entrymod.queries()["lifecycle_penalties"](spark, SF_DIR),
         entrymod.oracle_sql()["lifecycle_penalties"],
     )
+
+
+def test_lifecycle_components_matches_closure_oracle(spark):
+    """§3.1 G7 over the composed graph: collapse/orphan rounds break the
+    river closed form (the lifecycle graph has >2 components), so the
+    oracle is an honest transitive-closure recursive CTE over lcedges."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR, assert_matches_oracle
+
+    df = entrymod.queries()["lifecycle_components"](spark, SF_DIR)
+    assert_matches_oracle(df, entrymod.oracle_sql()["lifecycle_components"])
+    # the composed graph is NOT the intact grid: more than 2 labels
+    assert df.select("label").distinct().count() > 2
