@@ -209,6 +209,18 @@ def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.phash_neardup(datagen.points(spark, sf_dir))
 
 
+def _q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs reduced to duplicate CLUSTERS with a canonical
+    keep-one representative — the reduction a training-data dedup
+    actually ships (A~B~C chains collapse to one kept image). CC over
+    the sparse banded pair graph; closure-oracled like
+    lifecycle_components."""
+    pts = datagen.points(spark, sf_dir)
+    return dedup.neardup_clusters(
+        dedup.phash_neardup(pts), dedup.phash_corpus(pts)
+    )
+
+
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (SRP-LSH banded, exact
     cosine verify on bucket-mates only) — the dense-vector analogue of
@@ -713,7 +725,7 @@ _PRIORITY = [
     "frechet_hops", "acc_frechet_hops", "segmentize_hops",
     "eval_hops_summary", "df_histogram_hops",
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
-    "dedup_chain",
+    "dedup_chain", "phash_clusters",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -775,6 +787,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_buckets": _q_ivf_buckets,
         "emb_neardup": _q_emb_neardup,
         "phash_neardup": _q_phash_neardup,
+        "phash_clusters": _q_phash_clusters,
         "maxspeed_parse": _q_maxspeed,
         "name_similarity": _q_name_simi,
         "station_groups": _q_station_groups,
@@ -1356,6 +1369,7 @@ FROM nodes
         "ivf_buckets": simsearch.ivf_assign_counts_sql(),
         "emb_neardup": simsearch.emb_neardup_sql(),
         "phash_neardup": dedup.phash_neardup_sql(),
+        "phash_clusters": dedup.phash_clusters_sql(),
         "maxspeed_parse": sqlgen.with_ctes("edges")
         + f"""
 SELECT edge_id, {strings.maxspeed_raw_sql('edge_id')} AS raw,

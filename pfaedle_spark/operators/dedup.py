@@ -736,3 +736,59 @@ FROM chunks a JOIN chunks b
   ON a.chunk = b.chunk AND a.key = b.key AND a.img_id < b.img_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {ham_t}
 """
+
+
+def neardup_clusters(pairs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS -> keep-one-representative:
+    the reduction every training-data dedup actually ships (pairs alone
+    don't tell you which rows to drop when duplicates chain A~B~C).
+
+    Connected components over the sparse pair graph (min-img_id label,
+    ``graph_ops.connected_components`` — O(log diameter) rounds, and
+    dup-cluster diameters are tiny by construction of near-duplication),
+    then ``keep`` marks the canonical minimum id of each cluster.
+
+    100 TB shape: the pair graph is the banded join's output (near-dup
+    edges only, never all-pairs), components shuffle on node id, and the
+    keep flag is a column comparison — no driver-side state.
+
+    Output: (img_id, cluster, keep).
+    """
+    from .graph_ops import connected_components
+
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    nodes = corpus.select(F.col("img_id").alias("node_id"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node_id").alias("img_id"),
+        F.col("label").alias("cluster"),
+        (F.col("node_id") == F.col("label")).alias("keep"),
+    )
+
+
+def phash_clusters_sql(ham_t: int = PHASH_HAM_T) -> str:
+    """``neardup_clusters`` over the phash pair graph as one DuckDB
+    statement: the pair chain's CTEs, then an honest transitive-closure
+    recursive CTE (same shape as the lifecycle_components oracle)."""
+    pair_chain = phash_neardup_sql(ham_t)
+    head, select = pair_chain.split("SELECT DISTINCT", 1)
+    return f"""{head.rstrip()},
+pairs AS (
+  SELECT DISTINCT{select}),
+und AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id AS a, a_id AS b FROM pairs
+),
+reach AS (
+  SELECT * FROM (
+    WITH RECURSIVE r(img_id, root) AS (
+      SELECT img_id, img_id FROM corpus
+      UNION
+      SELECT u.b, r.root FROM r JOIN und u ON u.a = r.img_id
+    ) SELECT img_id, root FROM r
+  )
+)
+SELECT img_id, MIN(root) AS cluster, img_id = MIN(root) AS keep
+FROM reach GROUP BY img_id
+"""

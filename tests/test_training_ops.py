@@ -217,3 +217,24 @@ def test_dedup_chain_matches_composed_oracle(spark):
     assert pairs.keys() == est.keys() == ex.keys()
     for k, (e, j) in pairs.items():
         assert e == est[k] and j == ex[k], k
+
+
+def test_phash_clusters_matches_closure_oracle(spark):
+    """Near-dup pairs -> CC clusters -> keep-one: checked against the
+    transitive-closure recursive-CTE oracle, plus the semantic gates a
+    dedup reduction must satisfy."""
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        entrymod.queries()["phash_clusters"](spark, SF_DIR),
+        entrymod.oracle_sql()["phash_clusters"],
+    )
+    df = entrymod.queries()["phash_clusters"](spark, SF_DIR).toPandas()
+    # exactly one kept representative per cluster, and it IS the label
+    per = df.groupby("cluster")["keep"].sum()
+    assert (per == 1).all()
+    assert (df[df["keep"]]["img_id"] == df[df["keep"]]["cluster"]).all()
+    # every pair's endpoints landed in the same cluster
+    pairs = entrymod.queries()["phash_neardup"](spark, SF_DIR).toPandas()
+    lbl = dict(zip(df["img_id"], df["cluster"]))
+    assert all(lbl[a] == lbl[b] for a, b in zip(pairs["a_id"], pairs["b_id"]))
