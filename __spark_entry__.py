@@ -1,19 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship pipeline smoke at sf0.001.
-``queries()``   — one callable per implemented operator (84 queries:
+``queries()``   — one callable per implemented operator (87 queries:
                   a priority tier of new/never-driver-graded ones, then
                   the other SQL-oracled ones rotated deterministically
                   by round so each re-enters the driver's grading
                   window, rows-only last; the SURVEY.md §2 map is
                   COVERAGE.md).
-``oracle_sql()``— DuckDB-equivalent SQL per query (74 bit-identical
+``oracle_sql()``— DuckDB-equivalent SQL per query (77 bit-identical
                   oracles, incl. recursive-CTE oracles for the
                   Manhattan-variant greedy2/Viterbi DPs, the per-hop
                   Fréchet Eiter/Mannila DP (max AND accumulated-sum
                   variants), the round-unrolled composed lifecycle
-                  graph and its candidate join, and the
-                  shared-intermediate dedup chain; the 10 rows-only
+                  graph with its candidate join / penalty model /
+                  transitive-closure components, the shared-intermediate
+                  dedup chain, and the keep-one near-dup cluster
+                  reduction; the 10 rows-only
                   entries are the full-cost sequential DP / geometry
                   kernels, each gated by an independent
                   python-reference test in tests/ instead).

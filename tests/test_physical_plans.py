@@ -80,8 +80,17 @@ def test_exact_dedup_has_partial_aggregation(spark):
 
 def test_grouped_dp_keeps_explicit_partitioning(spark):
     """The Viterbi stage repartitions by the group key (visible as a
-    user-specified repartition that AQE may not coalesce away)."""
-    plan = plan_of(_q("viterbi_align", spark))
+    user-specified repartition that AQE may not coalesce away). Built
+    from the operator directly: the entry-point query serves a
+    session-memoized localCheckpoint (Scan ExistingRDD) whose plan no
+    longer shows the DP stage."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import candidates, graph_ops, routing
+
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(datagen.points(spark, SF_DIR), eds)
+    aligned = routing.viterbi_align(cand, graph_ops.write_odir_edges(eds))
+    plan = plan_of(aligned)
     assert "FlatMapGroupsInPandas" in plan
     assert "hashpartitioning(trip_id" in plan
 
