@@ -381,6 +381,42 @@ def _q_simplify_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_passes.simplify_geometries(geoms).select("edge_id", "n_in", "n_out")
 
 
+def _q_simplify_staircase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 Douglas-Peucker (Geo.h:1041-1075, 0.5 m) bit-oracled on the
+    staircase world: per-trip aligned polylines whose vertices are
+    integer staircase corners plus collinear stop/detour vertices. On
+    this world DP's kept set is EXACTLY the direction-change vertices:
+    every corner is a vertical-jump endpoint (jump >= 3 m) whose
+    deviation from any candidate chord is >= jump * cos(chord angle)
+    >= 3 * 8/sqrt(8^2+24^2) ~ 0.95 m > eps, so every range containing a
+    corner keeps splitting; ranges without corners are exactly-collinear
+    runs (deviation 0) and drop entirely. The REAL kernel runs
+    (mapInPandas, same code path as simplify_geoms); the oracle is the
+    pure cross-product collinearity filter."""
+    va = datagen.fh_aligned(spark, sf_dir)
+    pl = (
+        va.groupBy("trip_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "x", "y"))).alias("v"))
+        .select(
+            F.regexp_extract("trip_id", r"(\d+)", 1).cast("long").alias("edge_id"),
+            F.transform("v", lambda s: s["x"]).alias("xs"),
+            F.transform("v", lambda s: s["y"]).alias("ys"),
+        )
+    )
+    simp = graph_passes.simplify_geometries(pl)
+    return simp.select(
+        F.concat(F.lit("trip_"), F.col("edge_id").cast("string")).alias("trip_id"),
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("k", "p"),
+    ).select(
+        "trip_id", "n_in", "n_out",
+        F.col("k").cast("long").alias("k"),
+        F.col("p.xs").alias("x"),
+        F.col("p.ys").alias("y"),
+    )
+
+
 # --- GTFS relational ops / eval metrics / greedy2 ---------------------
 
 def _q_shape_refcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,7 +763,7 @@ _PRIORITY = [
     "frechet_hops", "acc_frechet_hops", "segmentize_hops",
     "eval_hops_summary", "df_histogram_hops",
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
-    "dedup_chain", "phash_clusters",
+    "dedup_chain", "phash_clusters", "simplify_staircase",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -833,6 +869,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_hops": _q_frechet_hops,
         "acc_frechet_hops": _q_acc_frechet_hops,
         "segmentize_hops": _q_segmentize_hops,
+        "simplify_staircase": _q_simplify_staircase,
         "eval_hops_summary": _q_eval_hops_summary,
         "df_histogram_hops": _q_df_histogram_hops,
         "trip_debug": _q_trip_debug,
@@ -1088,6 +1125,61 @@ FROM dp
 JOIN np ON np.trip_id = dp.trip_id AND np.hop_seq = dp.hop_seq
        AND dp.i = np.last_i
 JOIN hops h ON h.trip_id = dp.trip_id AND h.hop_seq = dp.hop_seq
+"""
+
+
+def _simplify_staircase_sql() -> str:
+    """Douglas-Peucker on the staircase world == the direction-change
+    filter (see ``_q_simplify_staircase``): keep endpoints and vertices
+    with nonzero integer cross product of the adjacent segment vectors;
+    exact integer arithmetic, bit parity by construction."""
+    from pfaedle_spark.sqlgen import PHASH
+
+    return f"""
+WITH fh AS MATERIALIZED (
+  SELECT 'trip_' || CAST(doc_id % {C.N_TRIPS} AS VARCHAR) AS trip_id,
+         doc_id // {C.N_TRIPS}                            AS k,
+         (doc_id // {C.N_TRIPS}) * {C.FH_XSTEP} + {PHASH} % {C.FH_AMOD} AS x,
+         (doc_id % {C.N_TRIPS}) * {C.FH_YBASE}
+           + (({PHASH} >> 3) % {C.FH_BMOD}) * {C.FH_BSCALE} AS y,
+         {C.FH_HXBASE} + ({PHASH} >> 7) % {C.FH_HXMOD}      AS hx
+  FROM documents
+),
+nx AS MATERIALIZED (
+  SELECT trip_id, k, x, y, hx,
+         LEAD(x) OVER (PARTITION BY trip_id ORDER BY k) AS x2,
+         LEAD(y) OVER (PARTITION BY trip_id ORDER BY k) AS y2
+  FROM fh
+),
+verts AS MATERIALIZED (
+  SELECT trip_id, k * 3 AS seq, x, y FROM nx
+  UNION ALL
+  SELECT trip_id, k * 3 + 1, x + hx, y FROM nx WHERE x2 IS NOT NULL
+  UNION ALL
+  SELECT trip_id, k * 3 + 2, x + hx, y2 FROM nx
+  WHERE x2 IS NOT NULL AND y2 <> y
+),
+ordered AS (
+  SELECT trip_id, seq, x, y,
+         LAG(x)  OVER w AS px, LAG(y)  OVER w AS py,
+         LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny,
+         COUNT(*) OVER (PARTITION BY trip_id) AS n_in
+  FROM verts WINDOW w AS (PARTITION BY trip_id ORDER BY seq)
+),
+kept AS (
+  SELECT trip_id, seq, x, y, n_in
+  FROM ordered
+  WHERE px IS NULL OR nx IS NULL
+     OR (x - px) * (ny - y) - (y - py) * (nx - x) <> 0
+)
+SELECT trip_id,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(COUNT(*) OVER (PARTITION BY trip_id) AS BIGINT) AS n_out,
+       CAST(ROW_NUMBER() OVER (PARTITION BY trip_id ORDER BY seq) - 1
+            AS BIGINT) AS k,
+       CAST(x AS DOUBLE) AS x,
+       CAST(y AS DOUBLE) AS y
+FROM kept
 """
 
 
@@ -1393,6 +1485,7 @@ FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
         "frechet_hops": _frechet_hops_sql(),
         "acc_frechet_hops": _acc_frechet_hops_sql(),
         "segmentize_hops": _segmentize_hops_sql(),
+        "simplify_staircase": _simplify_staircase_sql(),
         "eval_hops_summary": evalmetrics.eval_hops_summary_sql(
             f"({_frechet_hops_sql()})"
         ),

@@ -258,3 +258,18 @@ def test_frechet_hops_per_hop_semantics(spark):
     want = con.execute(evalmetrics.eval_summary_sql("hops")).fetchdf()
     for c in got.columns:
         assert np.allclose(got[c].astype(float), want[c].astype(float), rtol=1e-12), c
+
+
+def test_simplify_staircase_matches_collinearity_oracle(spark):
+    """G6 Douglas-Peucker bit-oracled on the staircase world: the REAL
+    kernel's kept set must equal the direction-change filter (corners
+    survive — every vertical-jump endpoint deviates > eps from any
+    candidate chord; collinear stop/detour vertices drop)."""
+    assert_matches_oracle(
+        entrymod.queries()["simplify_staircase"](spark, SF_DIR),
+        entrymod.oracle_sql()["simplify_staircase"],
+    )
+    df = entrymod.queries()["simplify_staircase"](spark, SF_DIR).toPandas()
+    # the world is non-trivial both ways: real drops AND real keeps
+    assert (df["n_out"] < df["n_in"]).all()
+    assert (df["n_out"] >= 2).all()
