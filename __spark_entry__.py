@@ -764,6 +764,7 @@ _PRIORITY = [
     "eval_hops_summary", "df_histogram_hops",
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
     "dedup_chain", "phash_clusters", "simplify_staircase",
+    "flagship_manhattan",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -861,6 +862,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netgraph_usage": _q_netgraph_usage,
         "greedy2_manhattan": _q_greedy2_manhattan,
         "viterbi_manhattan": _q_viterbi_manhattan,
+        "flagship_manhattan": _q_flagship_manhattan,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
         "df_histogram": _q_df_histogram,
@@ -958,6 +960,37 @@ greedy AS (
 )
 SELECT trip_id, seq, image_id, edge_id, cand_node, emission, acc_cost
 FROM greedy
+"""
+
+
+def _q_flagship_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP e2e chain (entry(): candidates -> Viterbi -> tile
+    assignment) in its Manhattan variant — the whole headline pipeline
+    SQL-oracled end to end: the candidate cell join, the forward DP +
+    backtrack recursive CTEs, the observation re-join and the tile
+    cell id compose into ONE DuckDB statement."""
+    pts = datagen.points(spark, sf_dir)
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds.withColumn("oneway", F.lit(False)))
+    cand = candidates.candidate_edges(pts, eds)
+    aligned = routing.viterbi_align(cand, bidir, level_punish=False)
+    return cells.tile_assign(
+        aligned.join(pts.select("image_id", "x", "y"), "image_id")
+    )
+
+
+def _flagship_manhattan_sql() -> str:
+    """entry()'s exact output contract (image_id..cell_id) over the
+    Manhattan-variant DP chain plus the tile grid id (Grid.h:269-280)."""
+    from pfaedle_spark import sqlgen
+
+    return f"""WITH vit AS (
+{_viterbi_manhattan_sql()}
+),{sqlgen.points_cte()}
+SELECT v.image_id, v.trip_id, v.seq, v.edge_id, v.cand_node,
+       v.emission, v.acc_cost, p.x, p.y,
+       {sqlgen.cell_id('p.x', 'p.y')} AS cell_id
+FROM vit v JOIN points p USING (image_id)
 """
 
 
@@ -1482,6 +1515,7 @@ FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
         "edge_tracks": osmfilter.edge_tracks_sql(),
         "greedy2_manhattan": _greedy2_manhattan_sql(),
         "viterbi_manhattan": _viterbi_manhattan_sql(),
+        "flagship_manhattan": _flagship_manhattan_sql(),
         "frechet_hops": _frechet_hops_sql(),
         "acc_frechet_hops": _acc_frechet_hops_sql(),
         "segmentize_hops": _segmentize_hops_sql(),
