@@ -175,14 +175,27 @@ assigned AS (
 )"""
 
 
-def ivf_topk(embeddings: DataFrame, k: int = TOP_K, q_stride: int = Q_STRIDE) -> DataFrame:
+def ivf_topk(
+    embeddings: DataFrame | None = None,
+    k: int = TOP_K,
+    q_stride: int = Q_STRIDE,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
     """Approximate top-k: each query probes only its own bucket.
 
     The probe is an equi-join on centroid_id — at scale this is the
-    partition-pruned path (bucket = Iceberg partition)."""
+    partition-pruned path (bucket = Iceberg partition). Pass
+    ``assigned`` (a prebuilt ``ivf_assign`` output, i.e. the stored
+    IVF index) to serve repeated query batches without re-deriving the
+    index — that is the production serving shape, and it also keeps
+    the probe's parallelism tied to the index's own partitioning
+    instead of the assignment window's post-shuffle partition count
+    (which AQE coalesces to ~1 on small inputs, serializing the
+    broadcast-join row expansion)."""
     from pyspark.sql import Window
 
-    assigned = ivf_assign(embeddings)
+    if assigned is None:
+        assigned = ivf_assign(embeddings)
     queries = assigned.filter(F.col("vec_id") % q_stride == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),

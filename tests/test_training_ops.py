@@ -144,6 +144,16 @@ def test_ivf_recall_vs_brute(spark):
     assert recall > 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_topk_served_from_prebuilt_index(spark):
+    """The serving path (assigned= a stored ivf_assign output, however
+    it is partitioned) returns exactly what the inline path computes —
+    the index build is amortizable across query batches."""
+    inline = simsearch.ivf_topk(_emb(spark)).collect()
+    index = simsearch.ivf_assign(_emb(spark)).repartition(16, "vec_id")
+    served = simsearch.ivf_topk(assigned=index).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, inline))
+
+
 def test_ivf_buckets_cover_all_vectors(spark):
     total = sum(r.n_vectors for r in simsearch.ivf_assign_counts(_emb(spark)).collect())
     assert total == _emb(spark).count()

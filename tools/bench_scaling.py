@@ -68,6 +68,47 @@ if mode == "dedup":
         # pairs once (the production composition — the standalone
         # operators re-derive intermediates for oracle isolation)
         return dedup.dedup_chain(c)
+elif mode == "ann":
+    # similarity search at scale: amplify the embedding corpus with
+    # replica ids offset by a multiple of Q_STRIDE (replicas keep the
+    # original query/non-query split — every replica contributes its
+    # own stride queries, as independent corpus shards would) and a
+    # scale-only value perturbation (cosine and the IVF bucket geometry
+    # are scale-invariant, so buckets stay balanced while replica
+    # vectors are value-distinct). The timed job is ivf_topk — the
+    # declared 100 TB path where the bucket id is the partition/join
+    # key and each query probes ~1/C of the corpus.
+    from pfaedle_spark.operators import simsearch
+
+    emb0 = datagen.embeddings(spark, sf_dir).localCheckpoint(eager=True)
+    corpus = (
+        emb0.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * (1.0 + F.col("rep") * 1e-6)
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    # build the IVF index ONCE before timing (a deployment stores it as
+    # the bucket-partitioned table and serves every query batch from
+    # it); the timed section is the probe. Explicit repartition by the
+    # high-cardinality vec_id keeps the index at real parallelism — the
+    # assignment window's post-shuffle output is tiny here and AQE
+    # would coalesce it to ~1 partition, serializing the probe's
+    # broadcast-join row expansion (a small-input artifact: at corpus
+    # scale the stored index has file-count parallelism).
+    corpus = corpus.repartition(64).localCheckpoint(eager=True)
+    data = (
+        simsearch.ivf_assign(corpus)
+        .repartition(64, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_images = data.count()
+
+    def pipeline(c):
+        return simsearch.ivf_topk(assigned=c)
 else:
     # deterministic amplification: replica r becomes its own set of trips
     # spread across the plane (large coprime offsets mod the world size),
@@ -127,7 +168,16 @@ elif mode == "flagship":
 # cold-loop timed run inflates the small-core wall asymmetrically
 # (the JVM's compiler threads run beside the 2 executor threads).
 warm_n = 30000 if mode == "dedup" else 2000
-pipeline(data.limit(warm_n).localCheckpoint(eager=True)).write.format("noop").mode("overwrite").save()
+if mode == "ann":
+    # warm on HALF the index (hash-distributed, so the slice carries
+    # every bucket and its share of stride queries): like the dedup
+    # chain, the probe's hot loop (64-long integer dots per candidate
+    # pair) only reaches C2 JIT after real volume, and a cold-loop
+    # timed run inflates the small-core wall asymmetrically
+    warm_data = data.limit(n_images // 2).localCheckpoint(eager=True)
+else:
+    warm_data = data.limit(warm_n).localCheckpoint(eager=True)
+pipeline(warm_data).write.format("noop").mode("overwrite").save()
 
 t0 = time.perf_counter()
 pipeline(data).write.format("noop").mode("overwrite").save()
@@ -162,7 +212,7 @@ def main() -> None:
     ap.add_argument("--update-baseline", action="store_true")
     ap.add_argument(
         "--mode", default="flagship",
-        choices=["flagship", "lifecycle", "dedup"],
+        choices=["flagship", "lifecycle", "dedup", "ann"],
     )
     args = ap.parse_args()
 
