@@ -756,9 +756,27 @@ def neardup_clusters(pairs: DataFrame, corpus: DataFrame) -> DataFrame:
     """
     from .graph_ops import connected_components
 
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    # materialize the pair graph once: it is consumed three ways below
+    # (adjacency, touched set, singleton anti-join) and its lineage is
+    # the banded candidate join — the expensive part of the chain.
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = corpus.select(F.col("img_id").alias("node_id"))
-    comp = connected_components(nodes, edges)
+    # iterate ONLY over edge-incident nodes: in a near-dup graph the
+    # touched set is a vanishing fraction of the corpus (the banded join
+    # emits dup edges, not all-pairs), so every CC round shuffles the
+    # dup graph instead of the whole table; untouched rows are their own
+    # cluster by definition and rejoin as a single anti-join projection.
+    touched = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    comp = connected_components(touched, edges).unionByName(
+        nodes.join(touched, "node_id", "left_anti")
+        .select("node_id", F.col("node_id").alias("label"))
+    )
     return comp.select(
         F.col("node_id").alias("img_id"),
         F.col("label").alias("cluster"),

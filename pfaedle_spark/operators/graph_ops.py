@@ -73,10 +73,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     (count of changed labels == 0 — an AQE-sized count, cheap at any
     scale because it aggregates to one long).
     """
+    # materialize the adjacency ONCE: every round joins against it, and
+    # without this the whole upstream edge derivation (for neardup
+    # clusters, the banded pair join) re-executes per round — plus the
+    # union+distinct is a shuffle that would otherwise repeat per round.
     adj = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select("node_id", F.col("node_id").alias("label"))
     for _ in range(max_rounds):
