@@ -604,7 +604,10 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3 via pigeonhole banding:
     split the 32-bit signature into 4 bytes — any pair within distance 3
     shares at least one byte; join per byte-chunk, then exact filter."""
-    sig = simhash(docs)
+    # materialize signatures before the self-join (as minhash_pairs
+    # does): both aliases would otherwise recompute the md5-per-token
+    # signature fold, the expensive part of the chain
+    sig = simhash(docs).localCheckpoint(eager=False)
     chunked = sig.withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1)))
     ).withColumn("ckey", F.expr("(simhash >> (chunk * 8)) & 255"))
