@@ -613,6 +613,31 @@ def _q_trip_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_routing.viterbi_trip_debug(cand, tbv, "trip_3")
 
 
+def _q_trip_debug_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The -T debug surface on the Manhattan world: EVERY candidate
+    state of one trip with its forward-DP layer cost and the chosen
+    flag — fully SQL-oracled (the shared Manhattan CTE chain's dp table
+    holds all states, LEFT JOINed to its backtrack). The full-cost
+    trip_debug keeps its py-ref gate (chosen rows == viterbi_full)."""
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds.withColumn("oneway", F.lit(False)))
+    pts = datagen.points(spark, sf_dir).filter(F.col("trip_id") == "trip_3")
+    cand = candidates.candidate_edges(pts, eds)
+    return routing.viterbi_align(cand, bidir, level_punish=False, debug=True)
+
+
+def _trip_debug_manhattan_sql() -> str:
+    return _viterbi_manhattan_ctes() + """
+SELECT d.trip_id, d.seq, d.image_id, d.edge_id, d.cand_node,
+       d.em AS emission, d.dp AS acc_cost,
+       (b.edge_id IS NOT NULL) AS chosen
+FROM dp d
+LEFT JOIN back b
+  ON b.trip_id = d.trip_id AND b.seq = d.seq AND b.edge_id = d.edge_id
+WHERE d.trip_id = 'trip_3'
+"""
+
+
 def _q_frechet_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 per-hop d_f (collector::get_da granularity): matched polyline
     cut at ordered stop projections, each hop's sub-polyline compared
@@ -764,7 +789,7 @@ _PRIORITY = [
     "eval_hops_summary", "df_histogram_hops",
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
     "dedup_chain", "phash_clusters", "simplify_staircase",
-    "flagship_manhattan",
+    "flagship_manhattan", "trip_debug_manhattan",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -863,6 +888,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy2_manhattan": _q_greedy2_manhattan,
         "viterbi_manhattan": _q_viterbi_manhattan,
         "flagship_manhattan": _q_flagship_manhattan,
+        "trip_debug_manhattan": _q_trip_debug_manhattan,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
         "df_histogram": _q_df_histogram,
@@ -1006,12 +1032,11 @@ def _q_viterbi_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routing.viterbi_align(cand, bidir, level_punish=False)
 
 
-def _viterbi_manhattan_sql() -> str:
-    """Forward recursive CTE computes every layer's per-candidate DP cost
-    and best-predecessor edge (argmin ties -> smaller prev edge_id, the
-    engine's first-minimum over edge_id-sorted rows); a second recursive
-    CTE backtracks from the final layer's argmin. Float parity: the DP
-    total is built as (dp + hop) + em in both engines."""
+def _viterbi_manhattan_ctes() -> str:
+    """Shared CTE chain for the Manhattan-variant R7 oracles: candidates
+    -> forward recursive DP (EVERY layer's per-candidate cost + best
+    predecessor) -> backtrack. Final SELECTs differ per query
+    (chosen-path for viterbi/flagship, full-state for trip debug)."""
     g, rc, sp = C.GRID_N, C.RIVER_COL, C.GRID_SPACING
     fac = C.CAND_PEN_FAC
     hop = (
@@ -1073,7 +1098,14 @@ back AS (
     WHERE p.prev_seq IS NOT NULL
   )
   SELECT * FROM bk
-)
+)"""
+
+
+def _viterbi_manhattan_sql() -> str:
+    """Float parity: the DP total is built as (dp + hop) + em in both
+    engines; argmin ties -> smaller edge_id (the engine's first-minimum
+    over edge_id-sorted rows)."""
+    return _viterbi_manhattan_ctes() + """
 SELECT d.trip_id, d.seq, d.image_id, d.edge_id, d.cand_node,
        d.em AS emission, d.dp AS acc_cost
 FROM back b
@@ -1516,6 +1548,7 @@ FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
         "greedy2_manhattan": _greedy2_manhattan_sql(),
         "viterbi_manhattan": _viterbi_manhattan_sql(),
         "flagship_manhattan": _flagship_manhattan_sql(),
+        "trip_debug_manhattan": _trip_debug_manhattan_sql(),
         "frechet_hops": _frechet_hops_sql(),
         "acc_frechet_hops": _acc_frechet_hops_sql(),
         "segmentize_hops": _segmentize_hops_sql(),

@@ -275,12 +275,14 @@ _ALIGN_SCHEMA = (
     "trip_id string, seq long, image_id string, edge_id long, cand_node long, "
     "emission double, acc_cost double"
 )
+_DEBUG_SCHEMA = _ALIGN_SCHEMA + ", chosen boolean"
 
 
 def viterbi_align(
     candidates: DataFrame,
     edges_directed: DataFrame,
     level_punish: bool = True,
+    debug: bool = False,
 ) -> DataFrame:
     """R7: per-trip global optimum over candidate layers.
 
@@ -292,13 +294,18 @@ def viterbi_align(
     across partitionings (SURVEY §7 risk 1).
 
     Output one row per (trip, seq): the chosen candidate and the
-    accumulated optimal cost at that layer.
+    accumulated optimal cost at that layer. With ``debug=True``, the
+    ``pfaedle -T``-style surface instead: EVERY candidate state with its
+    layer DP cost and a ``chosen`` flag (the chosen=true subset equals
+    the default output).
     """
     spark = candidates.sparkSession
     bc = edges_broadcast(spark, edges_directed)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _viterbi_one_trip(pdf, csr_for_broadcast(bc, level_punish=level_punish))
+        return _viterbi_one_trip(
+            pdf, csr_for_broadcast(bc, level_punish=level_punish), debug=debug
+        )
 
     cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
     # explicit hash repartition by the group key: AQE's byte-based
@@ -311,11 +318,11 @@ def viterbi_align(
         candidates.select(*cols)
         .repartition(n_part, "trip_id")
         .groupBy("trip_id")
-        .applyInPandas(solve, schema=_ALIGN_SCHEMA)
+        .applyInPandas(solve, schema=_DEBUG_SCHEMA if debug else _ALIGN_SCHEMA)
     )
 
 
-def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict) -> pd.DataFrame:
+def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict, debug: bool = False) -> pd.DataFrame:
     """Forward DP + backtrack for one trip. Pure function — unit-testable
     against the brute-force oracle without Spark."""
     pdf = pdf.sort_values(["seq", "edge_id"], ignore_index=True)
@@ -352,6 +359,28 @@ def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict) -> pd.DataFrame:
     choice[-1] = int(np.argmin(dp_cost[-1]))
     for li in range(len(layers) - 1, 0, -1):
         choice[li - 1] = dp_prev[li][choice[li]]
+
+    if debug:
+        # -T surface: every state of every layer with its forward-DP
+        # cost; chosen marks the backtracked path (== the default output)
+        out_d = []
+        for li, lay in enumerate(layers):
+            for i in range(len(lay)):
+                r = lay.iloc[i]
+                out_d.append(
+                    (
+                        r["trip_id"], int(r["seq"]), r["image_id"], int(r["edge_id"]),
+                        int(r["cand_node"]), float(r["dist"] * C.CAND_PEN_FAC),
+                        float(dp_cost[li][i]), bool(i == int(choice[li])),
+                    )
+                )
+        return pd.DataFrame(
+            out_d,
+            columns=[
+                "trip_id", "seq", "image_id", "edge_id", "cand_node",
+                "emission", "acc_cost", "chosen",
+            ],
+        )
 
     out = []
     for li, lay in enumerate(layers):

@@ -115,6 +115,26 @@ def test_viterbi_vs_bruteforce(grid_fw, spark):
     assert checked >= 3, "need at least a few brute-forceable trips"
 
 
+def test_viterbi_debug_chosen_equals_default(spark):
+    """debug=True emits every candidate state (one row per cand row of
+    the trip) and its chosen=true subset IS the default output."""
+    pts = datagen.points(spark, SF_DIR).filter("trip_id = 'trip_3'")
+    eds = datagen.edges(spark)
+    cand = candidates.candidate_edges(pts, eds)
+    directed = graph_ops.write_odir_edges(eds)
+    dbg = routing.viterbi_align(cand, directed, debug=True).toPandas()
+    assert len(dbg) == cand.count()
+    chosen = (
+        dbg[dbg.chosen]
+        .drop(columns=["chosen"])
+        .sort_values(["trip_id", "seq"], ignore_index=True)
+    )
+    plain = routing.viterbi_align(cand, directed).toPandas().sort_values(
+        ["trip_id", "seq"], ignore_index=True
+    )
+    assert chosen.equals(plain)
+
+
 def test_viterbi_deterministic_across_partitioning(spark):
     pts = datagen.points(spark, SF_DIR)
     eds = datagen.edges(spark)
