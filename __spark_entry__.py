@@ -53,6 +53,7 @@ from pfaedle_spark.operators import (
     simsearch,
     snap,
     stations,
+    tiles,
     windows,
 )
 
@@ -745,6 +746,24 @@ def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_stats(datagen.with_bytes(datagen.images(spark, sf_dir)))
 
 
+def _q_tile_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule VECTOR tiles: per-tile feature rows (rank, in-tile
+    offset geometry, caption attribute) — flat, cell-clustered."""
+    imgs = datagen.images(spark, sf_dir).select("doc_id", "image_id", "caption")
+    pts = datagen.points(spark, sf_dir).select("doc_id", "x", "y")
+    return tiles.tile_vector(imgs.join(pts, "doc_id"))
+
+
+def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule RASTER tiles: each tile rasterized to an 8x8 bin grid
+    whose bins aggregate the DECODED pixel payloads (exact integer sums
+    through the mapInPandas codec path; oracle recomputes them from
+    phash via the decode LCG)."""
+    imgs = datagen.with_bytes(datagen.images(spark, sf_dir))
+    pts = datagen.points(spark, sf_dir).select("image_id", "x", "y")
+    return tiles.tile_raster(imgs, pts)
+
+
 def _q_image_lossy_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.lossy_error(datagen.with_bytes(datagen.images(spark, sf_dir)))
 
@@ -790,6 +809,7 @@ _PRIORITY = [
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
     "dedup_chain", "phash_clusters", "simplify_staircase",
     "flagship_manhattan", "trip_debug_manhattan",
+    "tile_vector", "tile_raster",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -903,6 +923,8 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_debug": _q_trip_debug,
         "images_meta": _q_images_meta,
         "image_decode_stats": _q_image_decode_stats,
+        "tile_vector": _q_tile_vector,
+        "tile_raster": _q_tile_raster,
         "image_lossy_psnr": _q_image_lossy_psnr,
         "image_resize_stats": _q_image_resize_stats,
         "frame_sample": _q_frame_sample,
@@ -1620,6 +1642,8 @@ edges_pruned AS (
         "images_meta": sqlgen.with_ctes("images")
         + " SELECT image_id, w, h, fmt, caption, phash FROM images",
         "image_decode_stats": multimodal.decode_stats_sql(),
+        "tile_vector": tiles.tile_vector_sql(),
+        "tile_raster": tiles.tile_raster_sql(),
         "image_lossy_psnr": multimodal.lossy_error_sql(),
         "image_resize_stats": multimodal.resized_stats_sql(),
         "frame_sample": multimodal.frame_sample_plan_sql(),

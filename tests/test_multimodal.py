@@ -95,3 +95,47 @@ def test_frame_decode_is_gated(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_frame(b"", 4, 4, "h264", 0)
+
+
+# --- raster <-> vector tiles -----------------------------------------
+
+def test_tile_vector_oracle(spark):
+    from pfaedle_spark.operators import tiles
+
+    imgs = datagen.images(spark, SF_DIR).select("doc_id", "image_id", "caption")
+    pts = datagen.points(spark, SF_DIR).select("doc_id", "x", "y")
+    assert_matches_oracle(tiles.tile_vector(imgs.join(pts, "doc_id")), tiles.tile_vector_sql())
+
+
+def test_tile_raster_oracle(spark):
+    from pfaedle_spark.operators import tiles
+
+    pts = datagen.points(spark, SF_DIR).select("image_id", "x", "y")
+    assert_matches_oracle(tiles.tile_raster(_imgs(spark), pts), tiles.tile_raster_sql())
+
+
+def test_tile_roundtrip_conserves_payload(spark):
+    """Every image appears exactly once as a vector feature, and the
+    raster bins conserve the decoded pixel payload: summed bin pixels ==
+    summed per-image decode_stats pixels (nothing dropped or re-binned
+    twice anywhere in the tiling)."""
+    from pfaedle_spark.operators import tiles
+
+    imgs = datagen.images(spark, SF_DIR).select("doc_id", "image_id", "caption")
+    pts = datagen.points(spark, SF_DIR)
+    vec = tiles.tile_vector(imgs.join(pts.select("doc_id", "x", "y"), "doc_id"))
+    n_imgs = imgs.count()
+    assert vec.count() == n_imgs
+    assert vec.select("image_id").distinct().count() == n_imgs
+
+    ras = tiles.tile_raster(_imgs(spark), pts.select("image_id", "x", "y"))
+    binned = ras.agg(
+        F.sum("n_images").alias("n"), F.sum("sum_px").alias("s"), F.sum("n_px").alias("p")
+    ).collect()[0]
+    direct = (
+        multimodal.decode_stats(_imgs(spark))
+        .agg(F.sum("sum_px").alias("s"), F.sum("n_px").alias("p"))
+        .collect()[0]
+    )
+    assert binned.n == n_imgs
+    assert binned.s == direct.s and binned.p == direct.p
