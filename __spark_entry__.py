@@ -764,6 +764,13 @@ def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_raster(imgs, pts)
 
 
+def _q_raster_to_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raster->vector direction: non-empty raster bins back to
+    vector features with world-coordinate bbox geometry (pure BIGINT
+    cell-id decomposition) and the payload aggregates as attributes."""
+    return tiles.raster_to_vector(_q_tile_raster(spark, sf_dir))
+
+
 def _q_image_lossy_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.lossy_error(datagen.with_bytes(datagen.images(spark, sf_dir)))
 
@@ -809,7 +816,7 @@ _PRIORITY = [
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
     "dedup_chain", "phash_clusters", "simplify_staircase",
     "flagship_manhattan", "trip_debug_manhattan",
-    "tile_vector", "tile_raster",
+    "tile_vector", "tile_raster", "raster_to_vector",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -925,6 +932,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": _q_image_decode_stats,
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
+        "raster_to_vector": _q_raster_to_vector,
         "image_lossy_psnr": _q_image_lossy_psnr,
         "image_resize_stats": _q_image_resize_stats,
         "frame_sample": _q_frame_sample,
@@ -1644,6 +1652,7 @@ edges_pruned AS (
         "image_decode_stats": multimodal.decode_stats_sql(),
         "tile_vector": tiles.tile_vector_sql(),
         "tile_raster": tiles.tile_raster_sql(),
+        "raster_to_vector": tiles.raster_to_vector_sql(),
         "image_lossy_psnr": multimodal.lossy_error_sql(),
         "image_resize_stats": multimodal.resized_stats_sql(),
         "frame_sample": multimodal.frame_sample_plan_sql(),

@@ -91,6 +91,35 @@ def tile_raster(
     )
 
 
+def raster_to_vector(raster: DataFrame, r: int = RASTER_R) -> DataFrame:
+    """The raster->vector direction: every non-empty raster bin becomes
+    a vector feature with its world-coordinate bbox geometry and the
+    bin's payload aggregates as attributes.
+
+    cell_id decomposes as ix * CELL_STRIDE + iy (Grid.h:269-280), so
+    the bin bbox is pure integer arithmetic — no geometry library, one
+    narrow projection, bit-exact in the oracle.
+
+    Output: (cell_id, px, py, x0, y0, x1, y1, n_images, sum_px,
+    mean_px).
+    """
+    assert _CELL_I % r == 0, "bin edges must land on integer coordinates"
+    bin_w = _CELL_I // r
+    stride = C.CELL_STRIDE
+    return raster.select(
+        "cell_id",
+        "px",
+        "py",
+        F.expr(f"cell_id DIV {stride} * {_CELL_I} + px * {bin_w}").alias("x0"),
+        F.expr(f"cell_id % {stride} * {_CELL_I} + py * {bin_w}").alias("y0"),
+        F.expr(f"cell_id DIV {stride} * {_CELL_I} + (px + 1) * {bin_w}").alias("x1"),
+        F.expr(f"cell_id % {stride} * {_CELL_I} + (py + 1) * {bin_w}").alias("y1"),
+        "n_images",
+        "sum_px",
+        "mean_px",
+    )
+
+
 def tile_vector_sql() -> str:
     """DuckDB mirror: points CTE (x, y from phash) joined to documents
     for the caption, same cell id / offset / rank arithmetic."""
@@ -128,4 +157,19 @@ SELECT {sqlgen.cell_id('p.x', 'p.y')} AS cell_id,
        CAST(SUM(s.sum_px) AS DOUBLE) / SUM(s.n_px) AS mean_px
 FROM points p JOIN sums s USING (image_id)
 GROUP BY 1, 2, 3
+"""
+
+
+def raster_to_vector_sql(r: int = RASTER_R) -> str:
+    bin_w = _CELL_I // r
+    stride = C.CELL_STRIDE
+    return f"""WITH rast AS (
+{tile_raster_sql(r)})
+SELECT cell_id, px, py,
+       cell_id // {stride} * {_CELL_I} + px * {bin_w} AS x0,
+       cell_id % {stride} * {_CELL_I} + py * {bin_w} AS y0,
+       cell_id // {stride} * {_CELL_I} + (px + 1) * {bin_w} AS x1,
+       cell_id % {stride} * {_CELL_I} + (py + 1) * {bin_w} AS y1,
+       n_images, sum_px, mean_px
+FROM rast
 """

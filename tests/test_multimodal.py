@@ -139,3 +139,20 @@ def test_tile_roundtrip_conserves_payload(spark):
     )
     assert binned.n == n_imgs
     assert binned.s == direct.s and binned.p == direct.p
+
+
+def test_raster_to_vector_bboxes_partition_the_points(spark):
+    """raster->vector features carry world-coordinate bin bboxes; every
+    source point falls inside EXACTLY one feature bbox (the bboxes tile
+    the occupied space without overlap or gaps)."""
+    from pfaedle_spark.operators import tiles
+
+    pts = datagen.points(spark, SF_DIR).select("image_id", "x", "y")
+    feats = tiles.raster_to_vector(tiles.tile_raster(_imgs(spark), pts))
+    hits = pts.join(
+        feats,
+        (pts.x >= feats.x0) & (pts.x < feats.x1)
+        & (pts.y >= feats.y0) & (pts.y < feats.y1),
+    )
+    assert hits.count() == pts.count()
+    assert feats.agg(F.sum("n_images")).collect()[0][0] == pts.count()
