@@ -62,3 +62,20 @@ STATION_RADIUS = 600.0           # snap search radius
 # --- cost model (router.cpp:53-117 defaults, simplified) -------------
 LEVEL_PUNISH = [1.0, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0]
 CAND_PEN_FAC = 1.0               # penalty = dist * fac (station_group.cpp:56-93)
+
+# --- corridor world (R10 shape-assembly oracle) -----------------------
+# A path graph (single corridor of COR_EDGES collinear edges) makes the
+# full-cost edge-Viterbi + hop-path-capture + shape-assembly chain
+# SQL-checkable: between any two directed-edge states the optimal state
+# path is UNIQUE (any excursion on a line strictly adds cost), and with
+# points ON the line (y = 0), positions on a 128 m lattice, spacing
+# 2048 m and levels >= 3 (no synthetic lines => line-cmp coalesces to
+# 1.0) every arc cost, emission, DP total and clip fraction is an exact
+# integer/dyadic — float addition is exact at any order, so the
+# DuckDB Bellman-Ford + recursive DP reproduces the engine bit-for-bit.
+COR_EDGES = 24                   # corridor edges; nodes 0..COR_EDGES
+COR_SP = 2048.0                  # corridor spacing (dyadic)
+COR_XSTEP = 13                   # point k at x = ((doc_id*13) % 384) * 128
+COR_XMOD = 384                   # = COR_EDGES * COR_SP / 128 lattice positions
+COR_XCELL = 128.0                # position lattice (dyadic)
+COR_STATION_MOD = 5              # corridor node i is a station iff i % 5 == 0

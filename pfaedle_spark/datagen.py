@@ -295,3 +295,64 @@ def station_nodes(spark: SparkSession) -> DataFrame:
         "y",
         "component",
     )
+
+
+# --------------------------------------------------------------------
+# corridor world (R10 shape-assembly oracle; constants.py COR_*)
+# --------------------------------------------------------------------
+
+def corridor_nodes(spark: SparkSession) -> DataFrame:
+    """Path-graph nodes on the x axis: node i at (i*COR_SP, 0).
+    Station flags exercise the pass-through-station punish; single
+    component (a corridor has no river)."""
+    n = spark.range(0, C.COR_EDGES + 1, numPartitions=2).select(
+        F.col("id").alias("node_id")
+    )
+    return n.select(
+        "node_id",
+        (F.col("node_id") * C.COR_SP).cast("double").alias("x"),
+        F.lit(0.0).alias("y"),
+        F.lit(0).alias("component"),
+        (F.col("node_id") % C.COR_STATION_MOD == 0).alias("is_station"),
+    )
+
+
+def corridor_edges(spark: SparkSession) -> DataFrame:
+    """Corridor edge i: node i -> i+1, horizontal, length COR_SP.
+    Levels 3..7 ONLY: level < 3 edges would serve synthetic lines
+    (gtfs_ops.edge_lines) whose simi cost carries non-dyadic 1/3 terms;
+    with no lines every a_cmp coalesces to 1.0 and every transition
+    cost is an exact integer (see constants.py COR_* rationale).
+    Oneway every 7th edge exercises the against-oneway punish."""
+    nd = corridor_nodes(spark).filter(F.col("node_id") < C.COR_EDGES)
+    return nd.select(
+        F.col("node_id").alias("edge_id"),
+        F.col("node_id").alias("src"),
+        (F.col("node_id") + 1).alias("dst"),
+        F.col("x").alias("x1"),
+        F.lit(0.0).alias("y1"),
+        (F.col("x") + C.COR_SP).alias("x2"),
+        F.lit(0.0).alias("y2"),
+        (F.col("node_id") % 5 + 3).cast("int").alias("level"),
+        (F.col("node_id") % 7 == 0).alias("oneway"),
+        F.lit(float(C.COR_SP)).alias("length"),
+    )
+
+
+def corridor_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observations ON the corridor line (y = 0, x on the 128 m
+    lattice): distToSegment is then an exact integer for every
+    candidate (0 under the point, the axis gap for neighbours), so
+    emissions and all DP totals stay integer-exact."""
+    docs = documents(spark, sf_dir)
+    return docs.select(
+        F.concat(F.lit("cim_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.col("doc_id"),
+        ((F.col("doc_id") * C.COR_XSTEP) % C.COR_XMOD * C.COR_XCELL)
+        .cast("double").alias("x"),
+        F.lit(0.0).alias("y"),
+        F.concat(F.lit("ctrip_"), (F.col("doc_id") % C.N_TRIPS).cast("string")).alias(
+            "trip_id"
+        ),
+        F.floor(F.col("doc_id") / C.N_TRIPS).cast("long").alias("seq"),
+    )

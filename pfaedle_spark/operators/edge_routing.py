@@ -328,15 +328,20 @@ def transitions_ctes(
     edge_filter: str | None = None,
     rattrs: dict = RATTRS,
     opts: dict = OPTS,
+    head: str | None = None,
+    edges_rel: str = "edges",
+    nodes_rel: str = "nodes",
 ) -> str:
     """DuckDB CTE chain ending in ``trans(from_edge, to_edge, via_node,
     cost)`` — the bit-identical oracle twin of :func:`turn_transitions`.
-    ``edge_filter`` restricts the edge set (sub-grid queries)."""
-    base = sqlgen.with_ctes("nodes", "edges")
-    esrc = "edges"
+    ``edge_filter`` restricts the edge set (sub-grid queries);
+    ``head``/``edges_rel``/``nodes_rel`` let a different world (e.g. the
+    corridor) supply its own relations while reusing the same cost SQL."""
+    base = sqlgen.with_ctes("nodes", "edges") if head is None else head
+    esrc = edges_rel
     if edge_filter:
         base += f""",
-sub_edges AS (SELECT * FROM edges WHERE {edge_filter})"""
+sub_edges AS (SELECT * FROM {edges_rel} WHERE {edge_filter})"""
         esrc = "sub_edges"
     return f"""{base},{_directed_full_cte(esrc)},
 deg AS (
@@ -366,7 +371,7 @@ jt AS MATERIALIZED (
   FROM dedges a
   JOIN dedges b ON a.dst = b.src
   JOIN deg d ON d.node_id = a.dst
-  LEFT JOIN nodes n ON n.node_id = a.dst
+  LEFT JOIN {nodes_rel} n ON n.node_id = a.dst
   LEFT JOIN (SELECT DISTINCT via_node, from_way, to_way FROM restr WHERE NOT positive) rn
          ON rn.via_node = a.dst AND rn.from_way = a.edge_id % {REV_OFF}
         AND rn.to_way = b.edge_id % {REV_OFF}
