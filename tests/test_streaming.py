@@ -117,3 +117,68 @@ def test_stream_candidates_matches_batch(spark, tmp_path):
     )
     want = {(r.event_id, r.edge_id, round(r.dist, 9)) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_stream_align_matches_batch(spark, tmp_path):
+    """Streaming R7 (applyInPandasWithState online Viterbi): the LAST
+    emission per trip across micro-batches == batch viterbi_align on
+    the same candidates. maxFilesPerTrigger=2 over a 6-file source
+    forces trips to be split across batches, so intermediate prefix
+    alignments are re-solved from state and then superseded."""
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import candidates as cd
+    from pfaedle_spark.operators import graph_ops, routing
+    from pfaedle_spark.streaming import stream_align as sa
+
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds)
+    cand = cd.candidate_edges(datagen.points(spark, SF_DIR), eds).select(
+        "trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"
+    )
+    src = str(tmp_path / "cand_src")
+    cand.repartition(6).write.parquet(src)
+
+    stream = sa.stream_viterbi_align(
+        sa.read_candidate_stream(spark, src, max_files_per_trigger=2), bidir
+    )
+    assert stream.isStreaming
+    rows = st.run_available_now(stream, str(tmp_path / "cp_align"), mode="update")
+    assert rows
+    # update mode: the emission covering the most layers supersedes;
+    # track per trip the run with the max layer count (ties: later wins)
+    per_trip: dict = {}
+    for r in rows:
+        per_trip.setdefault(r.trip_id, []).append(r)
+    # rows arrive batch-ordered within the drain; rebuild "last full
+    # re-solve" per trip = the suffix with the largest seq coverage
+    final = {}
+    for t, rs in per_trip.items():
+        # group emissions into solves: each solve emits one row per seq,
+        # in seq order; the last solve is the final alignment
+        solves = []
+        cur = []
+        last_seq = None
+        for r in rs:
+            if last_seq is not None and r.seq <= last_seq:
+                solves.append(cur)
+                cur = []
+            cur.append(r)
+            last_seq = r.seq
+        solves.append(cur)
+        final[t] = {
+            (r.seq, r.image_id, r.edge_id, r.cand_node,
+             round(r.emission, 9), round(r.acc_cost, 9))
+            for r in solves[-1]
+        }
+
+    batch = routing.viterbi_align(
+        cd.candidate_edges(datagen.points(spark, SF_DIR), eds), bidir
+    ).collect()
+    want: dict = {}
+    for r in batch:
+        want.setdefault(r.trip_id, set()).add(
+            (r.seq, r.image_id, r.edge_id, r.cand_node,
+             round(r.emission, 9), round(r.acc_cost, 9))
+        )
+    assert set(final) == set(want)
+    assert final == want
