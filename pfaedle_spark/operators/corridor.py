@@ -140,9 +140,46 @@ def _state_x(col: str) -> str:
     )
 
 
-def shapes_corridor_sql() -> str:
-    """The end-to-end oracle; see module docstring for the argument."""
-    sp = C.COR_SP
+def viterbi_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 with the COMPLETE model (viterbi_full: edge states, A5
+    emission, full R3 transition cost, R5 band, A1 clustering) over the
+    corridor world — the SQL-oracled twin of the rows-only
+    ``viterbi_full`` query, sharing the corridor DP oracle's CTE chain
+    up through the backtrack."""
+    eds = datagen.corridor_edges(spark)
+    nds = datagen.corridor_nodes(spark)
+    pts = datagen.corridor_points(spark, sf_dir)
+    cand = candidates.candidate_edges(pts, eds)
+    tbv = edge_routing.build_variant_transitions(spark, eds, nodes=nds)
+    return edge_routing.viterbi_full(cand, tbv)
+
+
+def viterbi_corridor_sql() -> str:
+    """Chosen-state surface from the shared corridor DP chain: the
+    backtracked (seq, state) per fingerprint joined to every member
+    trip's own (trip_id, image_id) — exactly viterbi_full's member
+    join-back."""
+    return _corridor_dp_ctes() + """,
+members AS (
+  SELECT DISTINCT f.fingerprint, e.trip_id, e.seq, e.image_id
+  FROM emis e JOIN fpr f ON f.trip_id = e.trip_id
+)
+SELECT m.trip_id, d.seq, m.image_id, d.state AS state_edge, d.edge_id,
+       d.em AS emission, d.dp AS acc_cost
+FROM back b
+JOIN dp d ON d.fingerprint = b.fingerprint AND d.seq = b.seq
+         AND d.state = b.state
+JOIN members m ON m.fingerprint = d.fingerprint AND m.seq = d.seq
+"""
+
+
+def _corridor_dp_ctes() -> str:
+    """Shared oracle chain: corridor world -> candidates CTE ->
+    bit-identical transitions CTE -> Bellman-Ford hop table (pred
+    capture) -> A1 fingerprints/reps -> recursive band DP -> recursive
+    backtrack; ends in ``back(fingerprint, seq, state)``.
+    ``viterbi_corridor_sql`` and ``shapes_corridor_sql`` both build on
+    it."""
     turn_station_pens = OPTS["full_turn_punish"] + OPTS["pass_thru_station_punish"]
     lvl2 = OPTS["level_punish"][2]
     emis = emission_expr()
@@ -251,7 +288,13 @@ back AS MATERIALIZED (
     WHERE p.prev_seq IS NOT NULL
   )
   SELECT * FROM bk
-),
+)"""
+
+
+def shapes_corridor_sql() -> str:
+    """The end-to-end R10 oracle; see module docstring."""
+    sp = C.COR_SP
+    return _corridor_dp_ctes() + f""",
 chosen AS MATERIALIZED (
   SELECT fingerprint, seq, state,
          ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY seq) - 1 AS k

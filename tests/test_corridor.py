@@ -134,3 +134,25 @@ WHERE m.cost <> b.cost
     changed = con.execute(probe).fetchone()[0]
     con.close()
     assert changed == 0
+
+
+def test_viterbi_corridor_matches_oracle(spark):
+    """viterbi_full (edge states, full cost, band, clustering) on the
+    corridor == the shared DP chain's backtrack surface, exact."""
+    df = corridor.viterbi_corridor(spark, SF_DIR)
+    assert_matches_oracle(df, corridor.viterbi_corridor_sql(), atol=0.0)
+
+
+def test_corridor_shapes_consistent_with_viterbi(spark):
+    """Engine cross-check: the shape walk's first state per trip ==
+    the Viterbi chain's first chosen state (layer-0 choice feeds R10)."""
+    shp = corridor.shapes_corridor(spark, SF_DIR).toPandas()
+    vit = corridor.viterbi_corridor(spark, SF_DIR).toPandas()
+    first_walk = (
+        shp[shp["hop_seq"] == 0]
+        .set_index("trip_id")["edge_state"].to_dict()
+    )
+    first_choice = (
+        vit.sort_values("seq").groupby("trip_id").first()["state_edge"].to_dict()
+    )
+    assert first_walk == first_choice
