@@ -765,6 +765,13 @@ def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_raster(imgs, pts)
 
 
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom pyramid over the raster tiles: every level a direct key of
+    the base row (global-bin coordinate arithmetic), ONE explode + ONE
+    groupBy shuffle for the whole pyramid."""
+    return tiles.tile_pyramid(_q_tile_raster(spark, sf_dir))
+
+
 def _q_raster_to_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raster->vector direction: non-empty raster bins back to
     vector features with world-coordinate bbox geometry (pure BIGINT
@@ -818,7 +825,7 @@ _PRIORITY = [
     "dedup_chain", "phash_clusters", "simplify_staircase",
     "flagship_manhattan", "trip_debug_manhattan", "shapes_corridor",
     "viterbi_corridor",
-    "tile_vector", "tile_raster", "raster_to_vector",
+    "tile_vector", "tile_raster", "raster_to_vector", "tile_pyramid",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -937,6 +944,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_vector": _q_tile_vector,
         "tile_raster": _q_tile_raster,
         "raster_to_vector": _q_raster_to_vector,
+        "tile_pyramid": _q_tile_pyramid,
         "image_lossy_psnr": _q_image_lossy_psnr,
         "image_resize_stats": _q_image_resize_stats,
         "frame_sample": _q_frame_sample,
@@ -1659,6 +1667,7 @@ edges_pruned AS (
         "tile_vector": tiles.tile_vector_sql(),
         "tile_raster": tiles.tile_raster_sql(),
         "raster_to_vector": tiles.raster_to_vector_sql(),
+        "tile_pyramid": tiles.tile_pyramid_sql(),
         "image_lossy_psnr": multimodal.lossy_error_sql(),
         "image_resize_stats": multimodal.resized_stats_sql(),
         "frame_sample": multimodal.frame_sample_plan_sql(),

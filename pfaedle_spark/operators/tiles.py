@@ -173,3 +173,74 @@ SELECT cell_id, px, py,
        n_images, sum_px, mean_px
 FROM rast
 """
+
+
+# --------------------------------------------------------------------
+# zoom pyramid — multi-level raster rollup
+# --------------------------------------------------------------------
+
+PYRAMID_LEVELS = 3  # zooms 0 (base) .. PYRAMID_LEVELS (coarsest)
+
+
+def tile_pyramid(raster: DataFrame, r: int = RASTER_R, levels: int = PYRAMID_LEVELS) -> DataFrame:
+    """Zoom pyramid over raster tiles: zoom z aggregates 2^z x 2^z base
+    tiles into one, keeping the same r x r bin grid per tile (each
+    parent bin absorbs a 2^z x 2^z block of base bins).
+
+    Closed form from the GLOBAL base-bin coordinate
+    ``g = tile_index * r + bin_index``: at zoom z the parent tile is
+    ``g DIV (2^z * r)`` and the in-tile bin ``(g DIV 2^z) % r`` — so
+    EVERY level is a direct key of the base row and the whole pyramid
+    is ONE explode + ONE groupBy shuffle (map-side combinable) at any
+    corpus size, not a per-level iteration. z = 0 reproduces the input
+    bit-for-bit; payload sums are conserved per level (pytest-gated).
+
+    Output: (zoom, cell_id, px, py, n_images, n_px, sum_px, mean_px).
+    """
+    stride = C.CELL_STRIDE
+    g = raster.select(
+        "*",
+        F.expr(f"cell_id DIV {stride} * {r} + px").alias("gx"),
+        F.expr(f"cell_id % {stride} * {r} + py").alias("gy"),
+    ).select("*", F.explode(F.expr(f"sequence(0, {levels})")).alias("zoom"))
+    s = "CAST(POW(2, zoom) AS BIGINT)"
+    return (
+        g.select(
+            "zoom",
+            F.expr(f"gx DIV ({s} * {r}) * {stride} + gy DIV ({s} * {r})").alias("cell_id"),
+            F.expr(f"gx DIV {s} % {r}").alias("px"),
+            F.expr(f"gy DIV {s} % {r}").alias("py"),
+            "n_images", "n_px", "sum_px",
+        )
+        .groupBy("zoom", "cell_id", "px", "py")
+        .agg(
+            F.sum("n_images").cast("long").alias("n_images"),
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.sum("sum_px").cast("long").alias("sum_px"),
+            (F.sum("sum_px").cast("double") / F.sum("n_px")).alias("mean_px"),
+        )
+    )
+
+
+def tile_pyramid_sql(r: int = RASTER_R, levels: int = PYRAMID_LEVELS) -> str:
+    stride = C.CELL_STRIDE
+    zooms = ",".join(f"({z})" for z in range(levels + 1))
+    return f"""WITH rast AS (
+{tile_raster_sql(r)}),
+g AS (
+  SELECT rast.*, z.zoom,
+         cell_id // {stride} * {r} + px AS gx,
+         cell_id % {stride} * {r} + py AS gy,
+         CAST(POW(2, z.zoom) AS BIGINT) AS s
+  FROM rast, (VALUES {zooms}) z(zoom)
+)
+SELECT zoom,
+       gx // (s * {r}) * {stride} + gy // (s * {r}) AS cell_id,
+       gx // s % {r} AS px,
+       gy // s % {r} AS py,
+       SUM(n_images)::BIGINT AS n_images,
+       SUM(n_px)::BIGINT AS n_px,
+       SUM(sum_px)::BIGINT AS sum_px,
+       CAST(SUM(sum_px) AS DOUBLE) / SUM(n_px) AS mean_px
+FROM g GROUP BY 1, 2, 3, 4
+"""

@@ -156,3 +156,33 @@ def test_raster_to_vector_bboxes_partition_the_points(spark):
     )
     assert hits.count() == pts.count()
     assert feats.agg(F.sum("n_images")).collect()[0][0] == pts.count()
+
+
+def test_tile_pyramid_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+    from conftest import assert_matches_oracle
+    from pfaedle_spark.operators import tiles
+
+    df = entrymod.queries()["tile_pyramid"](spark, SF_DIR)
+    assert_matches_oracle(df, tiles.tile_pyramid_sql())
+
+
+def test_tile_pyramid_conservation_and_identity(spark):
+    """Payload sums are conserved at every zoom; zoom 0 == the base
+    raster; each level has <= as many tiles as the level below."""
+    import __spark_entry__ as entrymod
+    from pfaedle_spark.operators import tiles
+
+    base = entrymod.queries()["tile_raster"](spark, SF_DIR).toPandas()
+    pyr = entrymod.queries()["tile_pyramid"](spark, SF_DIR).toPandas()
+    tot = base["sum_px"].sum()
+    for z, g in pyr.groupby("zoom"):
+        assert g["sum_px"].sum() == tot, f"zoom {z} loses payload"
+        assert g["n_images"].sum() == base["n_images"].sum()
+    z0 = pyr[pyr["zoom"] == 0].drop(columns="zoom")
+    key = ["cell_id", "px", "py"]
+    a = base.sort_values(key, ignore_index=True)[sorted(z0.columns)]
+    b = z0.sort_values(key, ignore_index=True)[sorted(z0.columns)]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    ncells = pyr.groupby("zoom")["cell_id"].nunique()
+    assert (ncells.diff().dropna() <= 0).all(), "pyramid must coarsen"

@@ -182,3 +182,81 @@ def test_stateful_stream_align_matches_batch(spark, tmp_path):
         )
     assert set(final) == set(want)
     assert final == want
+
+
+def test_stream_align_resumes_from_state_store(spark, tmp_path):
+    """North-rule resumability for the STATEFUL streaming operator: feed
+    half the candidate files, stop the query, add the rest, restart
+    with the SAME checkpoint dir — per-trip state survives the restart,
+    so the final alignment still equals the batch answer over ALL data
+    (trips split across the two runs are solved from restored state)."""
+    import shutil
+
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import candidates as cd
+    from pfaedle_spark.operators import graph_ops, routing
+    from pfaedle_spark.streaming import stream_align as sa
+
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds)
+    cand = cd.candidate_edges(datagen.points(spark, SF_DIR), eds).select(
+        "trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"
+    )
+    staged = str(tmp_path / "staged")
+    cand.repartition(6).write.parquet(staged)
+    import os
+
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 6
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cp = str(tmp_path / "cp_align_resume")
+
+    def drain() -> list:
+        stream = sa.stream_viterbi_align(sa.read_candidate_stream(spark, src), bidir)
+        return st.run_available_now(stream, cp, mode="update")
+
+    for f in files[:3]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    rows1 = drain()  # first run: partial data, state persisted
+    for f in files[3:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    rows2 = drain()  # RESTARTED query, same checkpoint: state restored
+    assert rows1 and rows2
+
+    # the last solve per trip across run 2 (or run 1 for trips fully
+    # delivered early and untouched later) must equal the batch answer
+    def last_solves(rows):
+        per: dict = {}
+        for r in rows:
+            per.setdefault(r.trip_id, []).append(r)
+        out = {}
+        for t, rs in per.items():
+            solves, cur, last_seq = [], [], None
+            for r in rs:
+                if last_seq is not None and r.seq <= last_seq:
+                    solves.append(cur)
+                    cur = []
+                cur.append(r)
+                last_seq = r.seq
+            solves.append(cur)
+            out[t] = {
+                (r.seq, r.image_id, r.edge_id, r.cand_node,
+                 round(r.emission, 9), round(r.acc_cost, 9))
+                for r in solves[-1]
+            }
+        return out
+
+    final = last_solves(rows1)
+    final.update(last_solves(rows2))  # run-2 solves supersede
+
+    batch = routing.viterbi_align(
+        cd.candidate_edges(datagen.points(spark, SF_DIR), eds), bidir
+    ).collect()
+    want: dict = {}
+    for r in batch:
+        want.setdefault(r.trip_id, set()).add(
+            (r.seq, r.image_id, r.edge_id, r.cand_node,
+             round(r.emission, 9), round(r.acc_cost, 9))
+        )
+    assert final == want
