@@ -765,6 +765,15 @@ def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_raster(imgs, pts)
 
 
+def _q_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-document keep/drop gate a training-data pipeline
+    ships: language-ID + quality/token floors + exact-dup canonical, in
+    one co-partitioned join chain (operators/dedup.corpus_gate). The
+    dup leg's semantics on planted duplicates are pytest-gated
+    (tests/test_training_ops.py)."""
+    return dedup.corpus_gate(datagen.documents(spark, sf_dir))
+
+
 def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zoom pyramid over the raster tiles: every level a direct key of
     the base row (global-bin coordinate arithmetic), ONE explode + ONE
@@ -826,6 +835,7 @@ _PRIORITY = [
     "flagship_manhattan", "trip_debug_manhattan", "shapes_corridor",
     "viterbi_corridor",
     "tile_vector", "tile_raster", "raster_to_vector", "tile_pyramid",
+    "corpus_gate",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
     "line_first_match", "normalize_chains", "osm_filter_flags",
     "self_edges", "way_levels", "wkt_roundtrip",
@@ -945,6 +955,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_raster": _q_tile_raster,
         "raster_to_vector": _q_raster_to_vector,
         "tile_pyramid": _q_tile_pyramid,
+        "corpus_gate": _q_corpus_gate,
         "image_lossy_psnr": _q_image_lossy_psnr,
         "image_resize_stats": _q_image_resize_stats,
         "frame_sample": _q_frame_sample,
@@ -1295,10 +1306,14 @@ def _acc_frechet_hops_sql() -> str:
     over the same staircase world as ``_frechet_hops_sql``. Exactness:
     with the kernel's 25 m grid the hop sub-polyline is identity-
     densified (every staircase segment <= 24), and the truth segment
-    gains exactly one midpoint iff dx^2+dy^2 > 625 — an INTEGER
-    comparison, and the midpoint ((x1+x2)/2, (y1+y2)/2) is an exact
-    half. The distance matrix is SQRT of exactly-representable values
-    and the DP row recurrence
+    gains exactly one inserted point iff dx^2+dy^2 > 625 — an INTEGER
+    comparison. Per the reference's densify (Geo.h:1533-1558) the
+    point sits at exactly 25 m from the segment START along the unit
+    direction: x1 + ((x2-x1)/SQRT(len2))*25 — the oracle evaluates the
+    kernel's exact expression tree (divide, multiply, add — each
+    correctly rounded), so the coordinates are bit-identical even
+    though they are no longer dyadic. The distance matrix is SQRT of
+    identically-computed values and the DP row recurrence
       ca[i,0] = ca[i-1,0] + d[i,0]
       ca[i,j] = min(ca[i-1,j], ca[i-1,j-1], ca[i,j-1]) + d[i,j]
     evaluates the identical expression tree in both engines (LEAST then
@@ -1336,9 +1351,17 @@ pts AS MATERIALIZED (
   WHERE i <= CASE WHEN y2 <> y1 THEN 3 ELSE 2 END
 ),
 bq AS MATERIALIZED (
-  -- truth-segment densify: one exact midpoint iff len > 25 m
+  -- truth-segment densify: one inserted point iff len > 25 m, at
+  -- exactly 25 m from the start along the unit direction (the
+  -- kernel's expression tree: (dx/seg)*25 then x1 + _, Geo.h densify)
   SELECT trip_id, hop_seq, x1, y1, x2, y2,
-         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) > 625 AS two
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) > 625 AS two,
+         x1 + (CAST(x2 - x1 AS DOUBLE)
+               / SQRT(CAST((x2 - x1) * (x2 - x1)
+                         + (y2 - y1) * (y2 - y1) AS DOUBLE))) * 25.0 AS mx,
+         y1 + (CAST(y2 - y1 AS DOUBLE)
+               / SQRT(CAST((x2 - x1) * (x2 - x1)
+                         + (y2 - y1) * (y2 - y1) AS DOUBLE))) * 25.0 AS my
   FROM hops
 ),
 dmat AS MATERIALIZED (
@@ -1346,8 +1369,8 @@ dmat AS MATERIALIZED (
          SQRT(CAST((p.px - b.x1) * (p.px - b.x1)
                  + (p.py - b.y1) * (p.py - b.y1) AS DOUBLE)) AS d0,
          CASE WHEN b.two THEN SQRT(
-                (p.px - (b.x1 + b.x2) / 2.0) * (p.px - (b.x1 + b.x2) / 2.0)
-              + (p.py - (b.y1 + b.y2) / 2.0) * (p.py - (b.y1 + b.y2) / 2.0))
+                (p.px - b.mx) * (p.px - b.mx)
+              + (p.py - b.my) * (p.py - b.my))
               ELSE SQRT(CAST((p.px - b.x2) * (p.px - b.x2)
                            + (p.py - b.y2) * (p.py - b.y2) AS DOUBLE))
          END AS d1,
@@ -1668,6 +1691,7 @@ edges_pruned AS (
         "tile_raster": tiles.tile_raster_sql(),
         "raster_to_vector": tiles.raster_to_vector_sql(),
         "tile_pyramid": tiles.tile_pyramid_sql(),
+        "corpus_gate": dedup.corpus_gate_sql(),
         "image_lossy_psnr": multimodal.lossy_error_sql(),
         "image_resize_stats": multimodal.resized_stats_sql(),
         "frame_sample": multimodal.frame_sample_plan_sql(),

@@ -185,14 +185,32 @@ def douglas_peucker(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
 
 
 def densify(xs: np.ndarray, ys: np.ndarray, d: float) -> tuple[np.ndarray, np.ndarray]:
-    """Insert points so no segment exceeds length d (Geo.h:1533-1558)."""
+    """Insert points so no segment exceeds length d (Geo.h:1533-1558).
+
+    Mirrors the reference exactly: intermediate points sit at exact
+    multiples of ``d`` along each segment (unit direction × curd) and
+    every ORIGINAL vertex is pushed verbatim — an even-spread
+    ``linspace`` variant drifted the endpoints by ~1 ulp
+    (x1 + 1.0*(x2-x1) != x2 in floats), caught by the hypothesis
+    endpoint-preservation law in tests/test_properties.py."""
     out_x, out_y = [xs[0]], [ys[0]]
     for i in range(1, len(xs)):
-        seg = np.hypot(xs[i] - xs[i - 1], ys[i] - ys[i - 1])
-        n = max(1, int(np.ceil(seg / d)))
-        ts = np.linspace(0.0, 1.0, n + 1)[1:]
-        out_x.extend(xs[i - 1] + ts * (xs[i] - xs[i - 1]))
-        out_y.extend(ys[i - 1] + ts * (ys[i] - ys[i - 1]))
+        ddx = float(xs[i] - xs[i - 1])
+        ddy = float(ys[i] - ys[i - 1])
+        # sqrt(dx^2+dy^2) like the reference's dist (Geo.h:362-370), NOT
+        # np.hypot — correctly-rounded ops keep the inserted points
+        # bit-identical to the SQL oracle's SQRT arithmetic
+        seg = float(np.sqrt(ddx * ddx + ddy * ddy))
+        if seg > 0:
+            dx = ddx / seg
+            dy = ddy / seg
+            curd = d
+            while curd < seg:
+                out_x.append(xs[i - 1] + dx * curd)
+                out_y.append(ys[i - 1] + dy * curd)
+                curd += d
+        out_x.append(xs[i])
+        out_y.append(ys[i])
     return np.asarray(out_x), np.asarray(out_y)
 
 

@@ -813,3 +813,71 @@ reach AS (
 SELECT img_id, MIN(root) AS cluster, img_id = MIN(root) AS keep
 FROM reach GROUP BY img_id
 """
+
+
+# --------------------------------------------------------------------
+# corpus gate — the composed per-document keep/drop decision
+# --------------------------------------------------------------------
+
+GATE_MIN_QUALITY = 0.5
+GATE_MIN_TOKENS = 5
+
+
+def corpus_gate(docs: DataFrame) -> DataFrame:
+    """The decision a training-data pipeline actually ships: one row per
+    document with the composed keep/drop verdict — language identified
+    (not 'und'), quality score and token count above floor, not an
+    exact duplicate (min-doc_id canonical wins). Composes the REAL
+    operators (lang_id, text_stats, md5 exact-dup) through two
+    broadcast-sized joins keyed by doc_id; at 100 TB each input is a
+    narrow projection of the same scan and the joins co-partition on
+    the uniform doc_id key.
+
+    Output: (doc_id, lang_guess, n_tokens, quality_score,
+    is_exact_dup, keep)."""
+    from ..functions import textstats
+
+    lang = textstats.lang_id(docs).select("doc_id", "lang_guess")
+    stats = textstats.text_stats(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    keyed = docs.select("doc_id", F.md5("text").alias("h"))
+    grp = keyed.groupBy("h").agg(F.min("doc_id").alias("canon"))
+    dup = keyed.join(grp, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("canon")).alias("is_exact_dup")
+    )
+    g = lang.join(stats, "doc_id").join(dup, "doc_id")
+    return g.select(
+        "doc_id",
+        "lang_guess",
+        "n_tokens",
+        "quality_score",
+        "is_exact_dup",
+        (
+            (F.col("lang_guess") != "und")
+            & (F.col("n_tokens") >= GATE_MIN_TOKENS)
+            & (F.col("quality_score") >= GATE_MIN_QUALITY)
+            & ~F.col("is_exact_dup")
+        ).alias("keep"),
+    )
+
+
+def corpus_gate_sql() -> str:
+    """Composed oracle: the lang/stats/dup derivations inlined over the
+    documents view with the same thresholds."""
+    from ..functions import textstats
+
+    return f"""
+WITH lang_t AS ({textstats.lang_id_sql()}),
+stats_t AS ({textstats.text_stats_sql()}),
+keyed AS (SELECT doc_id, MD5(text) AS h FROM documents),
+grp AS (SELECT h, MIN(doc_id) AS canon FROM keyed GROUP BY h),
+dup AS (SELECT k.doc_id, k.doc_id <> g.canon AS is_exact_dup
+        FROM keyed k JOIN grp g USING (h))
+SELECT l.doc_id, l.lang_guess, s.n_tokens, s.quality_score, d.is_exact_dup,
+       (l.lang_guess <> 'und' AND s.n_tokens >= {GATE_MIN_TOKENS}
+        AND s.quality_score >= {GATE_MIN_QUALITY} AND NOT d.is_exact_dup) AS keep
+FROM lang_t l
+JOIN stats_t s USING (doc_id)
+JOIN dup d USING (doc_id)
+"""

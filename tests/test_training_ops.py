@@ -248,3 +248,37 @@ def test_phash_clusters_matches_closure_oracle(spark):
     pairs = entrymod.queries()["phash_neardup"](spark, SF_DIR).toPandas()
     lbl = dict(zip(df["img_id"], df["cluster"]))
     assert all(lbl[a] == lbl[b] for a, b in zip(pairs["a_id"], pairs["b_id"]))
+
+
+def test_corpus_gate_matches_oracle(spark):
+    from conftest import assert_matches_oracle
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import dedup
+
+    df = dedup.corpus_gate(datagen.documents(spark, SF_DIR))
+    assert_matches_oracle(df, dedup.corpus_gate_sql())
+    pdf = df.toPandas()
+    # the gate must actually discriminate on this corpus
+    assert 0 < pdf["keep"].sum() < len(pdf)
+
+
+def test_corpus_gate_drops_planted_duplicates(spark):
+    """The exact-dup leg: plant copies of a slice of the corpus at
+    shifted doc_ids — every copy must be flagged is_exact_dup and
+    dropped, while its canonical original keeps its own verdict."""
+    from pyspark.sql import functions as F
+
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import dedup
+
+    docs = datagen.documents(spark, SF_DIR)
+    echo = docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    g = dedup.corpus_gate(docs.unionByName(echo)).toPandas()
+    copies = g[g["doc_id"] >= 1000000]
+    assert len(copies) > 0
+    assert copies["is_exact_dup"].all()
+    assert not copies["keep"].any()
+    originals = g[(g["doc_id"] % 10 == 3) & (g["doc_id"] < 1000000)]
+    assert not originals["is_exact_dup"].any()
