@@ -174,3 +174,32 @@ def test_image_table_partition_pruning(spark, tmp_path):
         .count()
     )
     assert pruned.count() == want > 0
+
+
+def test_tile_pyramid_is_one_shuffle(spark):
+    """The whole pyramid (zooms 0..3) must be ONE explode + ONE
+    aggregation shuffle over the base raster — a per-level iteration
+    would show one Exchange per zoom. The base raster's own groupBy and
+    its doc/bytes join account for the rest; the pyramid itself adds
+    exactly one hash-aggregate Exchange (keyed zoom, cell, px, py)."""
+    import re
+
+    def shuffles(plan: str) -> int:
+        # shuffle exchanges only: "(N) Exchange" detail headers, which
+        # exclude BroadcastExchange and appear once per node
+        return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+    base_plan = plan_of(_q("tile_raster", spark))
+    pyr_plan = plan_of(_q("tile_pyramid", spark))
+    added = shuffles(pyr_plan) - shuffles(base_plan)
+    assert added == 1, f"pyramid adds {added} shuffles over the base raster"
+    assert len(re.findall(r"\(\d+\) Generate\b", pyr_plan)) == 1
+
+
+def test_corpus_gate_stays_jvm_side(spark):
+    """The composed gate is three derivations of ONE documents scan
+    joined on doc_id: no Python eval anywhere, and the final plan
+    performs partial (map-side) aggregation for the dedup group."""
+    plan = plan_of(_q("corpus_gate", spark))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "partial_" in plan or "HashAggregate" in plan
