@@ -833,7 +833,7 @@ _PRIORITY = [
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
     "dedup_chain", "phash_clusters", "simplify_staircase",
     "flagship_manhattan", "trip_debug_manhattan", "shapes_corridor",
-    "viterbi_corridor",
+    "viterbi_corridor", "trip_debug_corridor",
     "tile_vector", "tile_raster", "raster_to_vector", "tile_pyramid",
     "corpus_gate",
     "alt_name_simi", "box_overlaps", "group_attr_rules",
@@ -937,6 +937,7 @@ def _queries_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_debug_manhattan": _q_trip_debug_manhattan,
         "shapes_corridor": corridor.shapes_corridor,
         "viterbi_corridor": corridor.viterbi_corridor,
+        "trip_debug_corridor": corridor.trip_debug_corridor,
         "greedy2_align": _q_greedy2_align,
         "frechet_eval": _q_frechet_eval,
         "df_histogram": _q_df_histogram,
@@ -1616,6 +1617,7 @@ FROM stations s JOIN station_nodes n ON s.true_node_id = n.node_id
         "trip_debug_manhattan": _trip_debug_manhattan_sql(),
         "shapes_corridor": corridor.shapes_corridor_sql(),
         "viterbi_corridor": corridor.viterbi_corridor_sql(),
+        "trip_debug_corridor": corridor.trip_debug_corridor_sql(),
         "frechet_hops": _frechet_hops_sql(),
         "acc_frechet_hops": _acc_frechet_hops_sql(),
         "segmentize_hops": _segmentize_hops_sql(),

@@ -32,6 +32,7 @@ for the corridor; only the input world is.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import datagen
 from . import candidates, edge_routing
@@ -412,4 +413,41 @@ SELECT t.trip_id, r.pt_seq, r.x, r.y, r.cum_dist, r.hop_seq,
        CAST(r.edge_state AS BIGINT) AS edge_state
 FROM rows_out r
 JOIN (SELECT DISTINCT trip_id, fingerprint FROM fpr) t USING (fingerprint)
+"""
+
+
+DEBUG_TRIP = "ctrip_3"
+
+
+def trip_debug_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``pfaedle -T`` debug surface under the FULL cost model on the
+    corridor: every directed-edge candidate state of one trip with its
+    banded-DP layer cost and the backtrack's chosen flag — the
+    full-cost twin of ``trip_debug_manhattan`` (which runs unpunished).
+    Inf acc_cost rows are real: they are the states every seed pair
+    reaches only outside the R5 hop band."""
+    eds = datagen.corridor_edges(spark)
+    nds = datagen.corridor_nodes(spark)
+    pts = datagen.corridor_points(spark, sf_dir).filter(
+        F.col("trip_id") == DEBUG_TRIP
+    )
+    cand = candidates.candidate_edges(pts, eds)
+    tbv = edge_routing.build_variant_transitions(spark, eds, nodes=nds)
+    return edge_routing.viterbi_trip_debug(cand, tbv, DEBUG_TRIP)
+
+
+def trip_debug_corridor_sql() -> str:
+    """All states (incl. band-inf ones, COALESCEd to +infinity) of the
+    debug trip's fingerprint, chosen = backtrack membership."""
+    return _corridor_dp_ctes() + f""",
+dbg_f AS (SELECT DISTINCT fingerprint FROM fpr WHERE trip_id = '{DEBUG_TRIP}')
+SELECT s.fingerprint, s.seq, s.state AS state_edge, s.edge_id,
+       s.emission, COALESCE(d.dp, CAST('infinity' AS DOUBLE)) AS acc_cost,
+       (b.state IS NOT NULL) AS chosen
+FROM rstates s
+JOIN dbg_f USING (fingerprint)
+LEFT JOIN dp d ON d.fingerprint = s.fingerprint AND d.seq = s.seq
+              AND d.state = s.state
+LEFT JOIN back b ON b.fingerprint = s.fingerprint AND b.seq = s.seq
+                AND b.state = s.state
 """

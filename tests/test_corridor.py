@@ -156,3 +156,16 @@ def test_corridor_shapes_consistent_with_viterbi(spark):
         vit.sort_values("seq").groupby("trip_id").first()["state_edge"].to_dict()
     )
     assert first_walk == first_choice
+
+
+def test_trip_debug_corridor_matches_oracle(spark):
+    """Full-cost -T debug surface: every state (incl. band-inf rows)
+    with DP cost + chosen flag == the shared chain's dp/backtrack."""
+    df = corridor.trip_debug_corridor(spark, SF_DIR)
+    assert_matches_oracle(df, corridor.trip_debug_corridor_sql(), atol=0.0)
+    pdf = df.toPandas()
+    # exactly one chosen state per layer, and the debug surface carries
+    # the complete candidate layers (> chosen rows)
+    per_layer = pdf.groupby("seq")["chosen"].sum()
+    assert (per_layer == 1).all()
+    assert len(pdf) > pdf["chosen"].sum()
