@@ -53,14 +53,36 @@ from .. import constants as C
 BF_ROUNDS = C.COR_EDGES + 10
 
 
+_CAND_MEMO: dict = {}
+
+
+def _corridor_inputs(spark: SparkSession, sf_dir: str):
+    """Session-memoized shared prefix of the three corridor queries:
+    the J5 candidate join (eager localCheckpoint — shapes_corridor,
+    viterbi_corridor and trip_debug_corridor would otherwise each
+    re-run the cell join) plus the transition tables (already memoized
+    per (session, plan) inside build_variant_transitions)."""
+    from .routing import session_token
+
+    eds = datagen.corridor_edges(spark)
+    nds = datagen.corridor_nodes(spark)
+    key = (session_token(spark), sf_dir)
+    cand = _CAND_MEMO.get(key)
+    if cand is None:
+        if len(_CAND_MEMO) > 4:
+            _CAND_MEMO.clear()
+        cand = candidates.candidate_edges(
+            datagen.corridor_points(spark, sf_dir), eds
+        ).localCheckpoint(eager=True)
+        _CAND_MEMO[key] = cand
+    tbv = edge_routing.build_variant_transitions(spark, eds, nodes=nds)
+    return eds, cand, tbv
+
+
 def shapes_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full R10 pipeline over the corridor world, via the real
     operators (no corridor-specific engine code)."""
-    eds = datagen.corridor_edges(spark)
-    nds = datagen.corridor_nodes(spark)
-    pts = datagen.corridor_points(spark, sf_dir)
-    cand = candidates.candidate_edges(pts, eds)
-    tbv = edge_routing.build_variant_transitions(spark, eds, nodes=nds)
+    eds, cand, tbv = _corridor_inputs(spark, sf_dir)
     return edge_routing.shape_assembly(
         cand, tbv, edge_routing.directed_full_pdf(spark, eds)
     )
@@ -147,11 +169,7 @@ def viterbi_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
     corridor world — the SQL-oracled twin of the rows-only
     ``viterbi_full`` query, sharing the corridor DP oracle's CTE chain
     up through the backtrack."""
-    eds = datagen.corridor_edges(spark)
-    nds = datagen.corridor_nodes(spark)
-    pts = datagen.corridor_points(spark, sf_dir)
-    cand = candidates.candidate_edges(pts, eds)
-    tbv = edge_routing.build_variant_transitions(spark, eds, nodes=nds)
+    _, cand, tbv = _corridor_inputs(spark, sf_dir)
     return edge_routing.viterbi_full(cand, tbv)
 
 
@@ -426,14 +444,12 @@ def trip_debug_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-cost twin of ``trip_debug_manhattan`` (which runs unpunished).
     Inf acc_cost rows are real: they are the states every seed pair
     reaches only outside the R5 hop band."""
-    eds = datagen.corridor_edges(spark)
-    nds = datagen.corridor_nodes(spark)
-    pts = datagen.corridor_points(spark, sf_dir).filter(
-        F.col("trip_id") == DEBUG_TRIP
+    _, cand, tbv = _corridor_inputs(spark, sf_dir)
+    # filtering the MEMOIZED candidate join is equivalent to joining the
+    # pre-filtered points: the J5 join/rank are per-image
+    return edge_routing.viterbi_trip_debug(
+        cand.filter(F.col("trip_id") == DEBUG_TRIP), tbv, DEBUG_TRIP
     )
-    cand = candidates.candidate_edges(pts, eds)
-    tbv = edge_routing.build_variant_transitions(spark, eds, nodes=nds)
-    return edge_routing.viterbi_trip_debug(cand, tbv, DEBUG_TRIP)
 
 
 def trip_debug_corridor_sql() -> str:
