@@ -1,6 +1,11 @@
 """Drive the driver contract exactly as the driver does: entry() smoke,
-then each queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01."""
-import sys, time, duckdb, pandas as pd
+then each queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01.
+
+Besides the per-query stdout lines, a FULL run (no name filter) writes
+``CONTRACT_FULL_r{N}.json`` at the repo root in the same shape as the
+driver's CORRECTNESS artifact — the compensating record for the
+queries outside the driver's 50-row grading window."""
+import glob, json, sys, time, duckdb, pandas as pd
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pfaedle_spark.session import get_spark
@@ -27,9 +32,17 @@ qs, osql = E.queries(), E.oracle_sql()
 only = [a for a in sys.argv[1:] if not a.startswith("-")]
 if only:
     qs = {k: v for k, v in qs.items() if k in only}
+results = {}
 for name, fn in qs.items():
     t0 = time.time()
-    got = norm(fn(spark, SF).toPandas())
+    try:
+        got = norm(fn(spark, SF).toPandas())
+    except Exception as exc:  # record, keep sweeping
+        print(f"  {name}: ERROR {exc}")
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None, "err": str(exc)[:500]}
+        continue
     # the driver's value hash is dtype-sensitive: a Spark DECIMAL column
     # arrives as object-dtype Decimal and hash-fails vs DuckDB DOUBLE
     # even when values are equal — surface that locally.
@@ -38,7 +51,12 @@ for name, fn in qs.items():
         if got[c].dtype == object and got[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
             print(f"    DTYPE-HAZARD col {c}: decimal.Decimal (Spark DECIMAL inference)")
     if name not in osql:
-        print(f"  {name}: {len(got)} rows (rows-only, no oracle)"); continue
+        print(f"  {name}: {len(got)} rows (rows-only, no oracle)")
+        results[name] = {"rows_match": len(got) >= 0, "schema_match": None,
+                         "hash_match": None, "spark_rows": len(got),
+                         "oracle_rows": None, "err": None,
+                         "note": "rows-only by design (no SQL oracle)"}
+        continue
     want = norm(con.execute(osql[name]).fetchdf())
     ok_cols = list(got.columns) == list(want.columns)
     ok_rows = len(got) == len(want)
@@ -54,4 +72,30 @@ for name, fn in qs.items():
                 ok_vals = False; print(f"    MISMATCH col {c}")
     verdict = "MATCH" if (ok_cols and ok_rows and ok_vals) else f"FAIL cols={ok_cols} rows={len(got)}/{len(want)} vals={ok_vals}"
     print(f"  {name}: {len(got)} rows [{time.time()-t0:.1f}s] -> {verdict}")
+    results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                     "hash_match": bool(ok_cols and ok_rows and ok_vals),
+                     "spark_rows": len(got), "oracle_rows": len(want),
+                     "err": None}
+
+if not only:  # full sweep: publish the compensating artifact
+    rnd = len(glob.glob("/root/repo/CORRECTNESS_r*.json")) + 1
+    oracled = [k for k in results if "note" not in results[k]]
+    summary = {
+        "_meta": {
+            "sf_dir": SF, "round": rnd,
+            "entry_rows": int(n),
+            "queries_total": len(results),
+            "sql_oracled": len(oracled),
+            "sql_match": sum(results[k]["hash_match"] for k in oracled),
+            "rows_only": len(results) - len(oracled),
+            "tool": "tools/drive_contract.py (same compare as the driver, all queries — no 50-row window)",
+        }
+    }
+    summary.update(results)
+    out = f"/root/repo/CONTRACT_FULL_r{rnd:02d}.json"
+    with open(out, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    m = summary["_meta"]
+    print(f"wrote {out}: {m['sql_match']}/{m['sql_oracled']} SQL MATCH, "
+          f"{m['rows_only']} rows-only, {m['queries_total']} total")
 spark.stop()
