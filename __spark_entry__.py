@@ -1,13 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship pipeline smoke at sf0.001.
-``queries()``   — one callable per implemented operator (87 queries:
+``queries()``   — one callable per implemented operator (98 queries:
                   a priority tier of new/never-driver-graded ones, then
                   the other SQL-oracled ones rotated deterministically
                   by round so each re-enters the driver's grading
                   window, rows-only last; the SURVEY.md §2 map is
                   COVERAGE.md).
-``oracle_sql()``— DuckDB-equivalent SQL per query (77 bit-identical
+``oracle_sql()``— DuckDB-equivalent SQL per query (88 bit-identical
                   oracles, incl. recursive-CTE oracles for the
                   Manhattan-variant greedy2/Viterbi DPs, the per-hop
                   Fréchet Eiter/Mannila DP (max AND accumulated-sum
@@ -567,6 +567,13 @@ def _grid_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
         datagen.points(spark, sf_dir), datagen.edges(spark)
     ).localCheckpoint(eager=True)
     if len(_GRID_CAND_MEMO) > 4:
+        # unpersist evicted checkpoint blocks (they'd otherwise stay
+        # pinned in executor storage until context shutdown)
+        for old in _GRID_CAND_MEMO.values():
+            try:
+                old.unpersist()
+            except Exception:
+                pass
         _GRID_CAND_MEMO.clear()
     _GRID_CAND_MEMO[key] = cand
     return cand

@@ -115,15 +115,43 @@ def main() -> None:
         "lifecycle_e2e_sec": round(lifecycle_wall, 3),
         "trials": trials,
     }
-    print(json.dumps(out))
-    # self-contained artifact: the driver's stdout capture has truncated
-    # the headline before (BENCH_r03 lost the flagship number) — persist
-    # the same JSON to disk so the graded artifact always parses.
+    # self-contained artifact: the driver's stdout capture keeps only the
+    # LAST ~2000 chars (BENCH_r03/r04 recorded "parsed": null because the
+    # single full JSON line outgrew that window) — persist the full JSON
+    # to disk, print it once for humans, then end stdout with a compact
+    # line guaranteed to fit the tail window so the graded artifact
+    # always parses standalone.
     try:
         with open(os.path.join(REPO, "bench_summary.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError as exc:
         print(f"# bench_summary.json write failed: {exc}", file=sys.stderr)
+    print(json.dumps(out))
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_images": n_images,
+        "images_per_sec": out["images_per_sec"],
+        "cores": out["cores"],
+        "lifecycle_e2e_sec": out["lifecycle_e2e_sec"],
+        "queries_full": "bench_summary.json",
+        "queries_total": len(times),
+    }
+    # fill with the slowest queries first (the ones whose deltas matter)
+    # until the line would exceed the tail-window budget.
+    budget = 1800
+    for name in sorted(times, key=lambda k: -times[k]):
+        compact["queries"][name] = times[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 2000, len(line)
+    print(line)
     spark.stop()
 
 

@@ -70,6 +70,12 @@ def _corridor_inputs(spark: SparkSession, sf_dir: str):
     cand = _CAND_MEMO.get(key)
     if cand is None:
         if len(_CAND_MEMO) > 4:
+            # release evicted checkpoint blocks, don't just drop the refs
+            for old in _CAND_MEMO.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
             _CAND_MEMO.clear()
         cand = candidates.candidate_edges(
             datagen.corridor_points(spark, sf_dir), eds

@@ -52,7 +52,9 @@ for name, fn in qs.items():
             print(f"    DTYPE-HAZARD col {c}: decimal.Decimal (Spark DECIMAL inference)")
     if name not in osql:
         print(f"  {name}: {len(got)} rows (rows-only, no oracle)")
-        results[name] = {"rows_match": len(got) >= 0, "schema_match": None,
+        # rows_match None = "no oracle to check against", NOT a pass —
+        # distinguishes verified rows from an unverifiable surface.
+        results[name] = {"rows_match": None, "schema_match": None,
                          "hash_match": None, "spark_rows": len(got),
                          "oracle_rows": None, "err": None,
                          "note": "rows-only by design (no SQL oracle)"}
@@ -78,7 +80,11 @@ for name, fn in qs.items():
                      "err": None}
 
 if not only:  # full sweep: publish the compensating artifact
+    # number off existing CONTRACT_FULL files (not the driver's
+    # CORRECTNESS artifacts) and never clobber an existing sweep.
     rnd = len(glob.glob("/root/repo/CORRECTNESS_r*.json")) + 1
+    while os.path.exists(f"/root/repo/CONTRACT_FULL_r{rnd:02d}.json"):
+        rnd += 1
     oracled = [k for k in results if "note" not in results[k]]
     summary = {
         "_meta": {
