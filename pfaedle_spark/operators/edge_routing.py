@@ -175,20 +175,21 @@ def line_cmp(edges: DataFrame, rattrs: dict = RATTRS) -> DataFrame:
     return cur.groupBy("edge_id").agg(F.expr(_LINE_CMP_AGG).alias("cmp"))
 
 
-def _line_cmp_cte(rattrs: dict, edge_src: str = "edges") -> str:
+def _line_cmp_cte(rattrs: dict, edge_src: str = "edges", suffix: str = "") -> str:
     """SQL twin of :func:`line_cmp` (builds the synthetic edge_lines
-    inline, mirroring gtfs_ops.edge_lines_sql)."""
+    inline, mirroring gtfs_ops.edge_lines_sql). ``suffix`` namespaces
+    the CTEs so several rattr variants can coexist in one statement."""
     return f"""
-elines AS (
+elines{suffix} AS (
   SELECT DISTINCT edge_id,
          'l' || CAST(level * 10 AS VARCHAR) AS line_name,
          'st ' || CAST(src % 9 AS VARCHAR)  AS from_stop,
          'st ' || CAST(dst % 9 AS VARCHAR)  AS to_stop
   FROM {edge_src} WHERE level < 3
 ),
-ecmp AS (
+ecmp{suffix} AS (
   SELECT edge_id, {_LINE_CMP_AGG} AS cmp
-  FROM (SELECT edge_id, {_line_cur_sql(rattrs)} AS cur FROM elines)
+  FROM (SELECT edge_id, {_line_cur_sql(rattrs)} AS cur FROM elines{suffix})
   GROUP BY edge_id
 )"""
 
@@ -331,31 +332,40 @@ def transitions_ctes(
     head: str | None = None,
     edges_rel: str = "edges",
     nodes_rel: str = "nodes",
+    suffix: str = "",
+    emit_shared: bool = True,
 ) -> str:
-    """DuckDB CTE chain ending in ``trans(from_edge, to_edge, via_node,
-    cost)`` — the bit-identical oracle twin of :func:`turn_transitions`.
-    ``edge_filter`` restricts the edge set (sub-grid queries);
-    ``head``/``edges_rel``/``nodes_rel`` let a different world (e.g. the
-    corridor) supply its own relations while reusing the same cost SQL."""
+    """DuckDB CTE chain ending in ``trans{suffix}(from_edge, to_edge,
+    via_node, cost)`` — the bit-identical oracle twin of
+    :func:`turn_transitions`. ``edge_filter`` restricts the edge set
+    (sub-grid queries); ``head``/``edges_rel``/``nodes_rel`` let a
+    different world (e.g. the corridor) supply its own relations while
+    reusing the same cost SQL. ``suffix``/``emit_shared`` allow several
+    rattr VARIANTS in one statement: the rattr-independent CTEs
+    (dedges/deg/restr) are emitted once (emit_shared) and the
+    rattr-folded ones (elines/ecmp/jt/trans) get per-variant names."""
     base = sqlgen.with_ctes("nodes", "edges") if head is None else head
     esrc = edges_rel
+    shared = ""
     if edge_filter:
-        base += f""",
+        shared += f""",
 sub_edges AS (SELECT * FROM {edges_rel} WHERE {edge_filter})"""
         esrc = "sub_edges"
-    return f"""{base},{_directed_full_cte(esrc)},
+    if emit_shared:
+        shared += f""",{_directed_full_cte(esrc)},
 deg AS (
   SELECT node_id, COUNT(*) AS deg
   FROM (SELECT src AS node_id FROM {esrc} UNION ALL SELECT dst FROM {esrc})
   GROUP BY node_id
-),{_line_cmp_cte(rattrs, esrc)},
+),
 restr AS (
   SELECT src AS via_node, MIN(edge_id) AS from_way, MAX(edge_id) AS to_way,
          src % 22 = 0 AS positive
   FROM {esrc} WHERE src % 11 = 0
   GROUP BY src HAVING MIN(edge_id) <> MAX(edge_id)
-),
-jt AS MATERIALIZED (
+)"""
+    return f"""{base}{shared},{_line_cmp_cte(rattrs, esrc, suffix)},
+jt{suffix} AS MATERIALIZED (
   SELECT a.edge_id AS a_edge, a.src AS a_src, a.dst AS a_dst,
          a.x1 AS a_x1, a.y1 AS a_y1, a.x2 AS a_x2, a.y2 AS a_y2,
          a.level AS a_level, a.length AS a_len, a.against_oneway AS a_ow,
@@ -378,12 +388,12 @@ jt AS MATERIALIZED (
   LEFT JOIN (SELECT via_node, from_way, MIN(to_way) AS rpos_to FROM restr
              WHERE positive GROUP BY via_node, from_way) rp
          ON rp.via_node = a.dst AND rp.from_way = a.edge_id % {REV_OFF}
-  LEFT JOIN ecmp c ON c.edge_id = a.edge_id % {REV_OFF}
+  LEFT JOIN ecmp{suffix} c ON c.edge_id = a.edge_id % {REV_OFF}
 ),
-trans AS MATERIALIZED (
+trans{suffix} AS MATERIALIZED (
   SELECT a_edge AS from_edge, b_edge AS to_edge, a_dst AS via_node,
          {cost_expr(opts)} AS cost
-  FROM jt
+  FROM jt{suffix}
 )"""
 
 

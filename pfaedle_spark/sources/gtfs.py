@@ -77,7 +77,94 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("shape_dist_traveled", T.DoubleType()),
         ]
     ),
+    # ---- pass-through tables: not consulted by matching, but a real
+    # feed carries them and the reference's writer re-emits every one
+    # with a fixed header (feed.h:31-38,124-132;
+    # feed_writter.cpp:63-125) — dropping them silently loses the
+    # service calendar on a feed round-trip.
+    "calendar": T.StructType(
+        [
+            T.StructField("service_id", T.StringType(), False),
+            T.StructField("monday", T.IntegerType()),
+            T.StructField("tuesday", T.IntegerType()),
+            T.StructField("wednesday", T.IntegerType()),
+            T.StructField("thursday", T.IntegerType()),
+            T.StructField("friday", T.IntegerType()),
+            T.StructField("saturday", T.IntegerType()),
+            T.StructField("sunday", T.IntegerType()),
+            T.StructField("start_date", T.StringType()),
+            T.StructField("end_date", T.StringType()),
+        ]
+    ),
+    "calendar_dates": T.StructType(
+        [
+            T.StructField("service_id", T.StringType(), False),
+            T.StructField("date", T.StringType()),
+            T.StructField("exception_type", T.IntegerType()),
+        ]
+    ),
+    "fare_attributes": T.StructType(
+        [
+            T.StructField("fare_id", T.StringType(), False),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("currency_type", T.StringType()),
+            T.StructField("payment_method", T.IntegerType()),
+            T.StructField("transfers", T.IntegerType()),
+            T.StructField("agency_id", T.StringType()),
+            T.StructField("transfer_duration", T.IntegerType()),
+        ]
+    ),
+    "fare_rules": T.StructType(
+        [
+            T.StructField("fare_id", T.StringType(), False),
+            T.StructField("route_id", T.StringType()),
+            T.StructField("origin_id", T.StringType()),
+            T.StructField("destination_id", T.StringType()),
+            T.StructField("contains_id", T.StringType()),
+        ]
+    ),
+    "frequencies": T.StructType(
+        [
+            T.StructField("trip_id", T.StringType(), False),
+            T.StructField("start_time", T.StringType()),
+            T.StructField("end_time", T.StringType()),
+            T.StructField("headway_secs", T.IntegerType()),
+            T.StructField("exact_times", T.IntegerType()),
+        ]
+    ),
+    "transfers": T.StructType(
+        [
+            T.StructField("from_stop_id", T.StringType(), False),
+            T.StructField("to_stop_id", T.StringType()),
+            T.StructField("transfer_type", T.IntegerType()),
+            T.StructField("min_transfer_time", T.IntegerType()),
+        ]
+    ),
+    "feed_info": T.StructType(
+        [
+            T.StructField("feed_publisher_name", T.StringType()),
+            T.StructField("feed_publisher_url", T.StringType()),
+            T.StructField("feed_lang", T.StringType()),
+            T.StructField("default_lang", T.StringType()),
+            T.StructField("feed_start_date", T.StringType()),
+            T.StructField("feed_end_date", T.StringType()),
+            T.StructField("feed_version", T.StringType()),
+            T.StructField("feed_contact_email", T.StringType()),
+            T.StructField("feed_contact_url", T.StringType()),
+        ]
+    ),
 }
+
+# tables the engine never consults: read -> carried verbatim -> written
+PASS_THROUGH = [
+    "calendar",
+    "calendar_dates",
+    "fare_attributes",
+    "fare_rules",
+    "frequencies",
+    "transfers",
+    "feed_info",
+]
 
 
 def gtfs_time_to_seconds(col) -> F.Column:
@@ -178,4 +265,87 @@ def synthetic_feed(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("seq").alias("stop_sequence"),
         F.lit(None).cast("double").alias("shape_dist_traveled"),
     )
-    return {"stops": stops, "trips": trips, "stop_times": stop_times}
+    out = {"stops": stops, "trips": trips, "stop_times": stop_times}
+    out.update(synthetic_pass_through(spark, trips, stops))
+    return out
+
+
+def synthetic_pass_through(
+    spark: SparkSession, trips: DataFrame, stops: DataFrame
+) -> dict[str, DataFrame]:
+    """Deterministic pass-through tables derived from the feed's own
+    ids — pure column arithmetic, so the round-trip oracle can rebuild
+    the exact expected content."""
+    tn = F.abs(F.hash("trip_id"))
+    calendar = trips.select("service_id").distinct().select(
+        "service_id",
+        *[
+            F.lit(1 if d != "sunday" else 0).cast("int").alias(d)
+            for d in ("monday", "tuesday", "wednesday", "thursday",
+                      "friday", "saturday", "sunday")
+        ],
+        F.lit("20260101").alias("start_date"),
+        F.lit("20261231").alias("end_date"),
+    )
+    calendar_dates = trips.select("service_id").distinct().select(
+        "service_id",
+        F.lit("20260704").alias("date"),
+        F.lit(2).cast("int").alias("exception_type"),
+    )
+    routes = trips.select("route_id").distinct()
+    fare_attributes = routes.select(
+        F.concat(F.lit("fare_"), "route_id").alias("fare_id"),
+        (2.0 + (F.abs(F.hash("route_id")) % 4) * 0.25).alias("price"),
+        F.lit("EUR").alias("currency_type"),
+        F.lit(0).cast("int").alias("payment_method"),
+        (F.abs(F.hash("route_id")) % 3).cast("int").alias("transfers"),
+        F.lit("agency_1").alias("agency_id"),
+        F.lit(3600).cast("int").alias("transfer_duration"),
+    )
+    fare_rules = routes.select(
+        F.concat(F.lit("fare_"), "route_id").alias("fare_id"),
+        "route_id",
+        F.lit(None).cast("string").alias("origin_id"),
+        F.lit(None).cast("string").alias("destination_id"),
+        F.lit(None).cast("string").alias("contains_id"),
+    )
+    frequencies = trips.filter(tn % 3 == 0).select(
+        "trip_id",
+        F.lit("06:00:00").alias("start_time"),
+        F.lit("22:00:00").alias("end_time"),
+        (300 + (tn % 5) * 60).cast("int").alias("headway_secs"),
+        F.lit(0).cast("int").alias("exact_times"),
+    )
+    s = stops.select("stop_id")
+    transfers = (
+        s.alias("a")
+        .join(s.alias("b"), F.expr("a.stop_id < b.stop_id"))
+        .filter((F.abs(F.hash("a.stop_id", "b.stop_id")) % 7) == 0)
+        .select(
+            F.col("a.stop_id").alias("from_stop_id"),
+            F.col("b.stop_id").alias("to_stop_id"),
+            F.lit(2).cast("int").alias("transfer_type"),
+            (60 + F.abs(F.hash("a.stop_id")) % 240).cast("int").alias(
+                "min_transfer_time"
+            ),
+        )
+    )
+    feed_info = spark.createDataFrame(
+        [
+            (
+                "pfaedle_spark synthetic", "feed-url-placeholder",
+                "en", "en", "20260101", "20261231", "r5",
+                "feed-contact-placeholder", "feed-contact-url-placeholder",
+            )
+        ],
+        SCHEMAS["feed_info"],
+    )
+    return {
+        "calendar": calendar,
+        "calendar_dates": calendar_dates,
+        "fare_attributes": fare_attributes,
+        "fare_rules": fare_rules,
+        "frequencies": frequencies,
+        "transfers": transfers,
+        "feed_info": feed_info,
+    }

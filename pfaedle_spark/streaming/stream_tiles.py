@@ -76,9 +76,16 @@ def windowed_cell_counts(
     )
 
 
-def run_available_now(out_df: DataFrame, checkpoint_dir: str, mode: str = "append"):
+def run_available_now(
+    out_df: DataFrame,
+    checkpoint_dir: str,
+    mode: str = "append",
+    progress_acc: list | None = None,
+):
     """Drain all currently-available input (batch-equivalent semantics),
-    collecting every micro-batch via foreachBatch. Returns the rows."""
+    collecting every micro-batch via foreachBatch. Returns the rows.
+    ``progress_acc`` (if given) receives the query's recentProgress
+    dicts — e.g. for asserting state-store row counts after eviction."""
     acc: list = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -92,6 +99,8 @@ def run_available_now(out_df: DataFrame, checkpoint_dir: str, mode: str = "appen
         .start()
     )
     q.awaitTermination()
+    if progress_acc is not None:
+        progress_acc.extend(q.recentProgress)
     return acc
 
 

@@ -73,8 +73,22 @@ def test_lifecycle_checkpoints_and_resumes(spark, tmp_path):
     feed = os.path.join(root, "feed", "shapes.txt")
     with open(feed) as f:
         assert sum(1 for _ in f) == n1 + 1  # header
-    for t in ("stops", "trips", "stop_times"):
+    from pfaedle_spark.sources import gtfs as _g
+
+    for t in ["stops", "trips", "stop_times"] + _g.PASS_THROUGH:
         assert os.path.exists(os.path.join(root, "feed", f"{t}.txt")), t
+    # pass-through fidelity end-to-end: the calendar a real feed carries
+    # comes out of the lifecycle sink bit-identical
+    cal_in = sorted(
+        tuple(r)
+        for r in _g.synthetic_feed(spark, SF_DIR)["calendar"].collect()
+    )
+    cal_out = sorted(
+        tuple(r)
+        for r in _g.read_table(spark, os.path.join(root, "feed"),
+                               "calendar").collect()
+    )
+    assert cal_in == cal_out
 
     # kill + rerun: everything resumes, nothing recomputes — including
     # the feed sink (its own effect stage) and the transitions build

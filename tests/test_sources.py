@@ -94,10 +94,13 @@ def test_gtfs_roundtrip(spark, tmp_path):
     fd = str(tmp_path / "feed")
     for name, df in feed.items():
         gtfs.write_table(df, fd, name)
-    assert sorted(os.listdir(fd)) == ["stop_times.txt", "stops.txt", "trips.txt"]
+    assert sorted(os.listdir(fd)) == sorted(
+        f"{n}.txt"
+        for n in ["stops", "trips", "stop_times"] + gtfs.PASS_THROUGH
+    )
 
     back = gtfs.read_feed(spark, fd)
-    assert set(back) == {"stops", "trips", "stop_times"}
+    assert set(back) == {"stops", "trips", "stop_times", *gtfs.PASS_THROUGH}
     # schema fidelity: optional columns present as typed nulls
     stops = back["stops"]
     assert [f.name for f in gtfs.SCHEMAS["stops"].fields] == stops.columns
@@ -109,6 +112,27 @@ def test_gtfs_roundtrip(spark, tmp_path):
     want = {r.stop_id: r.stop_name for r in feed["stops"].collect()}
     got = {r.stop_id: r.stop_name for r in stops.collect()}
     assert got == want
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_gtfs_pass_through_roundtrip_bit_identical(spark, tmp_path):
+    """Every pass-through table (calendar .. feed_info) survives the
+    fixed-header CSV sink + schema-aligned scan with identical rows and
+    identical column order (feed.h:124-132; feed_writter.cpp:63-125)."""
+    feed = gtfs.synthetic_feed(spark, SF_DIR)
+    fd = str(tmp_path / "feed_pt")
+    for name in gtfs.PASS_THROUGH:
+        gtfs.write_table(feed[name], fd, name)
+    back = gtfs.read_feed(spark, fd)
+    for name in gtfs.PASS_THROUGH:
+        assert back[name].columns == [
+            f.name for f in gtfs.SCHEMAS[name].fields
+        ], name
+        assert _rows(back[name]) == _rows(feed[name]), name
+        assert feed[name].count() > 0, name
 
 
 def test_gtfs_missing_optional_column(spark, tmp_path):

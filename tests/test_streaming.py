@@ -184,6 +184,157 @@ def test_stateful_stream_align_matches_batch(spark, tmp_path):
     assert final == want
 
 
+def _write_trip_files(pdfs, src, tmp_path):
+    """Write each pandas frame as its own parquet file with ascending
+    mtimes so the file source processes them in order (one per trigger)."""
+    import os
+    import time as _time
+
+    os.makedirs(src, exist_ok=True)
+    base = _time.time() - 3600
+    for i, pdf in enumerate(pdfs):
+        p = os.path.join(src, f"f{i}.parquet")
+        pdf.to_parquet(  # Spark reads us-precision timestamps, not ns
+            p, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+def _state_rows(progress):
+    """numRowsTotal of the (single) stateful operator in the LAST
+    micro-batch that actually ran it."""
+    rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert rows, "no stateful progress recorded"
+    return rows[-1]
+
+
+def test_stream_align_event_time_ttl_evicts_state(spark, tmp_path):
+    """Bounded state: a trip whose candidates stop arriving for the TTL
+    of event time is FINALIZED (its alignment re-emitted from stored
+    state) and its state row evicted — the store ends holding only the
+    in-flight trips, and every final answer still equals batch R7."""
+    import pandas as pd
+
+    from pfaedle_spark import datagen
+    from pfaedle_spark.operators import candidates as cd
+    from pfaedle_spark.operators import graph_ops, routing
+    from pfaedle_spark.streaming import stream_align as sa
+
+    eds = datagen.edges(spark)
+    bidir = graph_ops.write_odir_edges(eds)
+    cand = cd.candidate_edges(datagen.points(spark, SF_DIR), eds).select(
+        "trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"
+    )
+    trips = [r.trip_id for r in cand.select("trip_id").distinct().orderBy(
+        "trip_id").limit(3).collect()]
+    assert len(trips) == 3
+    pdf = cand.filter(F.col("trip_id").isin(trips)).toPandas()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    files = []
+    for i, t in enumerate(trips):  # one trip per file, 2h apart
+        one = pdf[pdf["trip_id"] == t].copy()
+        one["ts"] = t0 + pd.Timedelta(hours=2 * i)
+        files.append(one)
+    src = str(tmp_path / "cand_ttl_src")
+    _write_trip_files(files, src, tmp_path)
+
+    ttl_ms = 30 * 60 * 1000  # 30 min event time; trips arrive 2 h apart
+    stream = sa.stream_viterbi_align(
+        sa.read_candidate_stream(spark, src, max_files_per_trigger=1,
+                                 with_ts=True),
+        bidir,
+        ttl_ms=ttl_ms,
+    )
+    progress: list = []
+    rows = st.run_available_now(
+        stream, str(tmp_path / "cp_ttl"), mode="update", progress_acc=progress
+    )
+    assert rows
+    # trip 0 expired when trip 1's file advanced the watermark past
+    # ts0 + TTL; trip 2's batch then evicted trip 1 the same way — only
+    # the last trip's state survives the drain
+    assert _state_rows(progress) == 1
+    # the finalization re-emits the trip's alignment: trips 0 and 1 each
+    # produce exactly two identical solves (arrival + finalization)
+    per_trip: dict = {}
+    for r in rows:
+        per_trip.setdefault(r.trip_id, []).append(
+            (r.seq, r.image_id, r.edge_id, r.cand_node,
+             round(r.emission, 9), round(r.acc_cost, 9))
+        )
+    n_layers = {t: f["seq"].nunique() for t, f in zip(trips, files)}
+    for t in trips[:2]:
+        assert len(per_trip[t]) == 2 * n_layers[t]
+        half = len(per_trip[t]) // 2
+        assert sorted(per_trip[t][:half]) == sorted(per_trip[t][half:])
+    assert len(per_trip[trips[2]]) == n_layers[trips[2]]
+    # and every trip's final answer equals batch R7
+    batch = routing.viterbi_align(
+        cd.candidate_edges(datagen.points(spark, SF_DIR), eds).filter(
+            F.col("trip_id").isin(trips)
+        ),
+        bidir,
+    ).collect()
+    want: dict = {}
+    for r in batch:
+        want.setdefault(r.trip_id, set()).add(
+            (r.seq, r.image_id, r.edge_id, r.cand_node,
+             round(r.emission, 9), round(r.acc_cost, 9))
+        )
+    got = {t: set(v) for t, v in per_trip.items()}
+    assert got == want
+
+
+def test_stream_dedup_event_time_ttl_evicts_state(spark, tmp_path):
+    """Bounded dedup horizon: a content hash idle past the TTL is
+    finalized (cumulative row re-emitted) and evicted; remaining keys
+    stay exact."""
+    import pandas as pd
+
+    from pfaedle_spark.streaming import stream_dedup as sd
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    f1 = pd.DataFrame({"doc_id": [7, 3], "text": ["dup", "dup"],
+                       "ts": [t0, t0]})
+    f2 = pd.DataFrame({"doc_id": [10], "text": ["solo-b"],
+                       "ts": [t0 + pd.Timedelta(hours=2)]})
+    f3 = pd.DataFrame({"doc_id": [11], "text": ["solo-c"],
+                       "ts": [t0 + pd.Timedelta(hours=4)]})
+    src = str(tmp_path / "docs_ttl_src")
+    _write_trip_files([f1, f2, f3], src, tmp_path)
+
+    reader = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = sd.stream_exact_dedup(
+        sd.keyed_docs(reader), ttl_ms=30 * 60 * 1000
+    )
+    progress: list = []
+    rows = st.run_available_now(
+        stream, str(tmp_path / "cp_dedup_ttl"), mode="update",
+        progress_acc=progress,
+    )
+    # only the last file's hash survives in state
+    assert _state_rows(progress) == 1
+    by_h: dict = {}
+    for r in rows:
+        by_h.setdefault(r.h, []).append((r.first_doc_id, r.n_seen))
+    assert len(by_h) == 3
+    import hashlib
+
+    h_dup = hashlib.md5(b"dup").hexdigest()
+    # the duplicate pair: one arrival emission + one finalization, both
+    # the exact cumulative answer (winner = min doc_id, n = 2)
+    assert by_h[h_dup] == [(3, 2), (3, 2)]
+
+
 def test_stream_align_resumes_from_state_store(spark, tmp_path):
     """North-rule resumability for the STATEFUL streaming operator: feed
     half the candidate files, stop the query, add the rest, restart
