@@ -7,20 +7,22 @@
                   by round so each re-enters the driver's grading
                   window, rows-only last; the SURVEY.md §2 map is
                   COVERAGE.md).
-``oracle_sql()``— DuckDB-equivalent SQL per query (90 bit-identical
-                  oracles, incl. the MAIN-grid full-cost Viterbi and
-                  -T debug (dp-seeded lexicographic unrolled-BF layer
-                  DP, operators/gridviterbi.py), recursive-CTE oracles
+``oracle_sql()``— DuckDB-equivalent SQL per query (91 bit-identical
+                  oracles, incl. the MAIN-grid full-cost Viterbi,
+                  -T debug, AND R10 shape assembly (dp-seeded
+                  lexicographic unrolled-BF layer DP + min-achieving-
+                  pred path walk, operators/gridviterbi.py),
+                  recursive-CTE oracles
                   for the Manhattan-variant greedy2/Viterbi DPs, the
                   per-hop Fréchet Eiter/Mannila DP (max AND
                   accumulated-sum variants), the round-unrolled
                   composed lifecycle graph with its candidate join /
                   penalty model / transitive-closure components, the
                   shared-intermediate dedup chain, and the keep-one
-                  near-dup cluster reduction; the 8 rows-only entries
-                  are the remaining sequential path-walk / geometry
-                  kernels, each gated by an independent
-                  python-reference test in tests/ instead).
+                  near-dup cluster reduction; the 7 rows-only entries
+                  are the remaining sequential DP / geometry kernels,
+                  each gated by an independent python-reference test
+                  in tests/ instead).
 
 The synthetic image+caption table (BASELINE.json input_hint) is derived
 deterministically from the driver's ``documents`` parquet via pure
@@ -841,7 +843,7 @@ def _q_tiles_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries(): the driver grades in dict order under a budget and these
 # carry only the weaker rows-only check.
 _ROWS_ONLY = [
-    "viterbi_align", "simplify_geoms", "shape_geoms",
+    "viterbi_align", "simplify_geoms",
     "greedy2_align", "frechet_eval", "df_histogram", "segmentize",
     "eval_summary",
 ]
@@ -855,7 +857,7 @@ _ROWS_ONLY = [
 # FULL-cost Viterbi + -T debug oracles (rows-only until now) lead;
 # round 4's never-before-graded tier follows.
 _PRIORITY = [
-    "viterbi_full", "trip_debug",
+    "viterbi_full", "trip_debug", "shape_geoms",
     "frechet_hops", "acc_frechet_hops", "segmentize_hops",
     "eval_hops_summary", "df_histogram_hops",
     "lifecycle_candidates", "lifecycle_penalties", "lifecycle_components",
@@ -1707,14 +1709,16 @@ edges_pruned AS (
         "box_overlaps": geomops.box_overlaps_sql(),
         "alt_name_simi": geomops.alt_name_simi_sql(),
         "self_edges": geomops.self_edges_sql(SELF_EDGE_FILTER),
-        # viterbi_full / trip_debug: the MAIN-grid full-cost layer DP,
-        # bit-oracled by a dp-seeded lexicographic unrolled BF over the
-        # per-variant transitions CTEs (operators/gridviterbi.py; the
+        # viterbi_full / trip_debug / shape_geoms: the MAIN-grid
+        # full-cost layer DP and its R10 path walk, bit-oracled by
+        # dp-seeded lexicographic unrolled BFs over the per-variant
+        # transitions CTEs (operators/gridviterbi.py; the
         # restricted_paths float-accumulation technique composed with
-        # the corridor oracle's layer chain). shape_geoms (the path
-        # WALK) stays py-ref gated in tests/test_edge_routing.py.
+        # the corridor oracle's layer chain + min-achieving-pred
+        # backtrack + recursive-CTE sequential cumdist).
         "viterbi_full": gridviterbi.viterbi_full_grid_sql(),
         "trip_debug": gridviterbi.trip_debug_grid_sql(),
+        "shape_geoms": gridviterbi.shape_geoms_grid_sql(),
         "netgraph_usage": gtfs_ops.netgraph_usage_sql(candidates.candidates_cte_sql()),
         # greedy2_align / frechet_eval / df_histogram / segmentize:
         # per-trip sequential scans (chained Dijkstra, Fréchet DP,

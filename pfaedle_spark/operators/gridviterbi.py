@@ -71,6 +71,12 @@ from .edge_routing import (
 N_LAYERS = 8     # max layers per trip at the graded SFs (500 docs / 64 trips)
 BF_ROUNDS = 56   # measured fixpoint 51 + margin; pytest-gated
 
+# single-seed hop-path BF (shape_geoms): full fixpoint measured at 52
+# rounds over all 427 walked hops at both graded SFs
+# (tools/path_probe.py), which also verified the min-achieving-pred
+# backtrack rule against engine edge_dijkstra_path on every hop.
+PATH_BF_ROUNDS = 56
+
 _INF = "CAST('infinity' AS DOUBLE)"
 
 
@@ -259,6 +265,175 @@ FROM back b
 JOIN dpall d ON d.fid = b.fid AND d.li = b.li AND d.state = b.state
 JOIN fids fd ON fd.fid = d.fid
 JOIN members m ON m.fingerprint = fd.fingerprint AND m.seq = d.seq
+"""
+
+
+def _path_walk_ctes() -> str:
+    """Walked-edge reconstruction for R10 on the main grid: per
+    consecutive chosen-state pair (hop), a single-seed unrolled BF to
+    value fixpoint, then pred(u) = MIN(state) over in-neighbors b with
+    ``b.total + cost == u.total`` — exactly the engine's first-pop pred
+    (heap ties break (f, d, state, idx, pred); strictly positive arc
+    costs settle every achieving pred before u pops, so the first pop
+    carries the min pred index, and CSR index order IS state-id order
+    via np.unique). Verified pred-rule == edge_dijkstra_path on all 427
+    hops at both graded SFs (tools/path_probe.py). Ends with
+    ``walk(fid, state, hop_seq, n_walk)`` — the engine's walked state
+    sequence (each hop path minus its target, then the final chosen
+    state; unreachable hops skipped, shape_assembly's ``p is None``)."""
+    parts = [f""",
+hops AS MATERIALIZED (
+  SELECT b1.fid, b1.li AS hop, b1.state AS src_state, b2.state AS tgt_state,
+         fd.variant
+  FROM back b1
+  JOIN back b2 ON b2.fid = b1.fid AND b2.li = b1.li + 1
+  JOIN fids fd ON fd.fid = b1.fid
+),
+pb0 AS MATERIALIZED (
+  SELECT fid, hop, variant, src_state AS state, CAST(0.0 AS DOUBLE) AS total
+  FROM hops
+)"""]
+    for r in range(1, PATH_BF_ROUNDS + 1):
+        parts.append(f""",
+pb{r} AS MATERIALIZED (
+  SELECT fid, hop, variant, state, MIN(total) AS total FROM (
+    SELECT fid, hop, variant, state, total FROM pb{r - 1}
+    UNION ALL
+    SELECT b.fid, b.hop, b.variant, t.to_edge, b.total + t.cost
+    FROM pb{r - 1} b
+    JOIN transv t ON t.variant = b.variant AND t.from_edge = b.state
+  ) GROUP BY fid, hop, variant, state
+)""")
+    parts.append(f""",
+pfin AS MATERIALIZED (SELECT * FROM pb{PATH_BF_ROUNDS}),
+pprd AS MATERIALIZED (
+  SELECT d.fid, d.hop, d.state, MIN(b.state) AS prd
+  FROM pfin d
+  JOIN transv t ON t.variant = d.variant AND t.to_edge = d.state
+  JOIN pfin b ON b.fid = d.fid AND b.hop = d.hop AND b.state = t.from_edge
+  WHERE b.total + t.cost = d.total
+  GROUP BY d.fid, d.hop, d.state
+),
+bkt AS MATERIALIZED (
+  WITH RECURSIVE pk(fid, hop, state, k) AS (
+    SELECT h.fid, h.hop, h.tgt_state, 0
+    FROM hops h
+    JOIN pfin p ON p.fid = h.fid AND p.hop = h.hop AND p.state = h.tgt_state
+    UNION ALL
+    SELECT p.fid, p.hop, pr.prd, p.k + 1
+    FROM pk p
+    JOIN hops h ON h.fid = p.fid AND h.hop = p.hop
+    JOIN pprd pr ON pr.fid = p.fid AND pr.hop = p.hop AND pr.state = p.state
+    WHERE p.state <> h.src_state
+  )
+  SELECT * FROM pk
+),
+walk AS MATERIALIZED (
+  SELECT fid, state,
+         ROW_NUMBER() OVER (PARTITION BY fid ORDER BY hop ASC, k DESC) - 1
+           AS hop_seq,
+         COUNT(*) OVER (PARTITION BY fid) AS n_walk
+  FROM (
+    SELECT fid, hop, state, k FROM bkt WHERE k > 0
+    UNION ALL
+    SELECT b.fid, {10 * N_LAYERS} AS hop, b.state, 0
+    FROM back b JOIN lastl l ON l.fid = b.fid AND l.li = b.li
+  )
+)""")
+    return "".join(parts)
+
+
+def shape_geoms_grid_sql() -> str:
+    """Oracle for ``shape_geoms`` (R10 + W2 on the main grid): oriented
+    edge concat along the walked paths, head/tail clipped at the
+    first/last stop's projection, with sequential cumulative distance —
+    shape_assembly semantics (shape_builder.cpp:80-119,404-518), float
+    ops in the engine's exact order (the cumsum is a recursive CTE, one
+    fl(cum + fl(len*frac)) per step — a window SUM's pairwise order
+    would not be bit-stable). echo=False: the shape_geoms query feeds
+    shape_assembly the un-echoed candidate join."""
+    return _dp_ctes(echo=False, trip_filter=None) + _path_walk_ctes() + """,
+wg AS MATERIALIZED (
+  SELECT w.fid, w.hop_seq, w.n_walk, w.state,
+         de.x1 AS sx, de.y1 AS sy, de.x2 AS ex, de.y2 AS ey,
+         de.length AS ln
+  FROM walk w JOIN dedges de ON de.edge_id = w.state
+),
+stops AS (
+  SELECT fd.fid, c.seq, MIN(c.x) AS x, MIN(c.y) AS y
+  FROM cand_all c JOIN fids fd ON fd.rep_trip = c.trip_id
+  GROUP BY fd.fid, c.seq
+),
+endstops AS (
+  SELECT fid, ARG_MIN(x, seq) AS fx, ARG_MIN(y, seq) AS fy,
+         ARG_MAX(x, seq) AS lx, ARG_MAX(y, seq) AS ly
+  FROM stops GROUP BY fid
+),
+clipraw AS (
+  SELECT g0.fid,
+         CASE WHEN (g0.ex-g0.sx)*(g0.ex-g0.sx)+(g0.ey-g0.sy)*(g0.ey-g0.sy) <= 0.0
+              THEN 0.0
+              ELSE LEAST(1.0, GREATEST(0.0,
+                ((es.fx-g0.sx)*(g0.ex-g0.sx)+(es.fy-g0.sy)*(g0.ey-g0.sy))
+                / ((g0.ex-g0.sx)*(g0.ex-g0.sx)+(g0.ey-g0.sy)*(g0.ey-g0.sy))))
+         END AS t0,
+         CASE WHEN (gl.ex-gl.sx)*(gl.ex-gl.sx)+(gl.ey-gl.sy)*(gl.ey-gl.sy) <= 0.0
+              THEN 0.0
+              ELSE LEAST(1.0, GREATEST(0.0,
+                ((es.lx-gl.sx)*(gl.ex-gl.sx)+(es.ly-gl.sy)*(gl.ey-gl.sy))
+                / ((gl.ex-gl.sx)*(gl.ex-gl.sx)+(gl.ey-gl.sy)*(gl.ey-gl.sy))))
+         END AS traw,
+         g0.n_walk
+  FROM wg g0
+  JOIN endstops es ON es.fid = g0.fid
+  JOIN wg gl ON gl.fid = g0.fid AND gl.hop_seq = g0.n_walk - 1
+  WHERE g0.hop_seq = 0
+),
+clip AS (
+  SELECT fid, t0,
+         CASE WHEN n_walk = 1 AND traw < t0 THEN t0 ELSE traw END AS tL
+  FROM clipraw
+),
+elems AS MATERIALIZED (
+  SELECT g.fid, g.hop_seq, g.state, g.ln,
+         CASE WHEN g.hop_seq = g.n_walk - 1
+              THEN g.sx + c.tL * (g.ex - g.sx) ELSE g.ex END AS out_x,
+         CASE WHEN g.hop_seq = g.n_walk - 1
+              THEN g.sy + c.tL * (g.ey - g.sy) ELSE g.ey END AS out_y,
+         CASE WHEN g.hop_seq = 0 AND g.hop_seq = g.n_walk - 1
+                THEN (1.0 - c.t0) - (1.0 - c.tL)
+              WHEN g.hop_seq = 0 THEN 1.0 - c.t0
+              WHEN g.hop_seq = g.n_walk - 1 THEN 1.0 - (1.0 - c.tL)
+              ELSE 1.0 END AS frac
+  FROM wg g JOIN clip c ON c.fid = g.fid
+),
+cums AS MATERIALIZED (
+  WITH RECURSIVE cc(fid, hop_seq, cum) AS (
+    SELECT fid, hop_seq, ln * GREATEST(frac, 0.0)
+    FROM elems WHERE hop_seq = 0
+    UNION ALL
+    SELECT e.fid, e.hop_seq, c.cum + e.ln * GREATEST(e.frac, 0.0)
+    FROM cc c JOIN elems e ON e.fid = c.fid AND e.hop_seq = c.hop_seq + 1
+  )
+  SELECT * FROM cc
+),
+outrows AS (
+  SELECT g.fid, CAST(0 AS BIGINT) AS pt_seq,
+         g.sx + c.t0 * (g.ex - g.sx) AS x,
+         g.sy + c.t0 * (g.ey - g.sy) AS y,
+         0.0 AS cum_dist, CAST(-1 AS BIGINT) AS hop_seq,
+         g.state AS edge_state
+  FROM wg g JOIN clip c ON c.fid = g.fid WHERE g.hop_seq = 0
+  UNION ALL
+  SELECT e.fid, CAST(e.hop_seq + 1 AS BIGINT), e.out_x, e.out_y,
+         cc.cum, CAST(e.hop_seq AS BIGINT), e.state
+  FROM elems e JOIN cums cc ON cc.fid = e.fid AND cc.hop_seq = e.hop_seq
+)
+SELECT m.trip_id, r.pt_seq, r.x, r.y, r.cum_dist, r.hop_seq, r.edge_state
+FROM outrows r
+JOIN fids fd ON fd.fid = r.fid
+JOIN (SELECT DISTINCT fingerprint, trip_id FROM fpr) m
+  ON m.fingerprint = fd.fingerprint
 """
 
 

@@ -17,6 +17,8 @@ from pfaedle_spark.operators import gridviterbi
 
 if WHICH == "viterbi_full":
     sql = gridviterbi.viterbi_full_grid_sql()
+elif WHICH == "shape_geoms":
+    sql = gridviterbi.shape_geoms_grid_sql()
 else:
     sql = gridviterbi.trip_debug_grid_sql()
 print(f"SQL size: {len(sql)} bytes")
