@@ -442,11 +442,10 @@ def dedup_chain(docs: DataFrame) -> DataFrame:
     # at 10^12 docs that full-table shuffle IS the job. A broadcast
     # semi-join on the (small) pair-member list drops it map-side
     # before any exchange.
-    pair_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    pair_docs = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )  # no .distinct(): the left_semi hash build dedups keys natively,
+    # and the explicit exchange+agg was a whole extra (non-scaling) stage
     m = arr.join(F.broadcast(pair_docs), "doc_id", "left_semi")
     pa = m.select(
         F.col("doc_id").alias("doc_a"),

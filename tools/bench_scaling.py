@@ -188,11 +188,19 @@ spark.stop()
 """
 
 
-def run(cores: int, amp: int, mode: str = "flagship") -> dict:
+def run(cores: int, amp: int, mode: str = "flagship", pin: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_AMP=str(amp),
                SPARK_GRAFT_MODE=mode)
+    cmd = [sys.executable, "-c", CHILD.format(repo=REPO)]
+    if pin:
+        # pin the WHOLE process tree (executor threads, GC/JIT helpers,
+        # python workers) to exactly `cores` physical cores: unpinned,
+        # the small side's JVM helpers overflow onto idle cores and
+        # flatter the denominator — the r4 dedup 2->8 pair read
+        # 0.69-0.73 for exactly this reason
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO)],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -211,6 +219,11 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--update-baseline", action="store_true")
     ap.add_argument(
+        "--pin", action="store_true",
+        help="taskset both sides to exactly their core budget and "
+             "interleave small/big trials in one window",
+    )
+    ap.add_argument(
         "--mode", default="flagship",
         choices=["flagship", "lifecycle", "dedup", "ann"],
     )
@@ -221,10 +234,21 @@ def main() -> None:
     # engine's scaling, not the hypervisor's oversubscription. Min over
     # trials rejects the VM's transient steal spikes.
     n_small, n_big = args.n, args.n * 4
-    r8 = min((run(n_small, args.amp, args.mode) for _ in range(args.trials)),
-             key=lambda r: r["wall_s"])
-    r32 = min((run(n_big, args.amp, args.mode) for _ in range(args.trials)),
-              key=lambda r: r["wall_s"])
+    if args.pin:
+        # interleaved: small/big alternate within one host window so a
+        # drift between the two sides cannot masquerade as (in)efficiency
+        smalls, bigs = [], []
+        for _ in range(args.trials):
+            smalls.append(run(n_small, args.amp, args.mode, pin=True))
+            bigs.append(run(n_big, args.amp, args.mode, pin=True))
+        r8 = min(smalls, key=lambda r: r["wall_s"])
+        r32 = min(bigs, key=lambda r: r["wall_s"])
+        print(json.dumps({"trials_small": smalls, "trials_big": bigs}))
+    else:
+        r8 = min((run(n_small, args.amp, args.mode) for _ in range(args.trials)),
+                 key=lambda r: r["wall_s"])
+        r32 = min((run(n_big, args.amp, args.mode) for _ in range(args.trials)),
+                  key=lambda r: r["wall_s"])
     eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4.0
     result = {
         "metric": f"scaling efficiency N->4N (local[{n_small}] -> local[{n_big}], {args.mode})",

@@ -13,12 +13,16 @@ import os
 SF = os.environ.get("SF", "/root/testdata/sf0.01")
 WHICH = sys.argv[1] if len(sys.argv) > 1 else "viterbi_full"
 
-from pfaedle_spark.operators import gridviterbi
+from pfaedle_spark.operators import gridviterbi, nodedp
 
 if WHICH == "viterbi_full":
     sql = gridviterbi.viterbi_full_grid_sql()
 elif WHICH == "shape_geoms":
     sql = gridviterbi.shape_geoms_grid_sql()
+elif WHICH == "viterbi_align":
+    sql = nodedp.viterbi_align_grid_sql()
+elif WHICH == "greedy2_align":
+    sql = nodedp.greedy2_align_grid_sql()
 else:
     sql = gridviterbi.trip_debug_grid_sql()
 print(f"SQL size: {len(sql)} bytes")
