@@ -1,13 +1,18 @@
 #!/usr/bin/env python
 """Planted-skew evidence for J5 hot-cell salting (SURVEY §7 risk 5).
 
-World: one "urban" cell holds 50% of all edge-cell rows (20k short
+World: one "urban" cell holds ~67% of all edge-cell rows (20k short
 edges inside a single 2000 m grid cell, the exact hot-cell shape of the
 reference's edge grid, ``trgraph/edge_grid.cpp:21-41``), plus a uniform
-background (10k edges ~ 2 cell rows each over a 100x100-cell area).
-1,000 observation points sit inside the hot cell and 20,000 spread
-uniformly — so the unsalted cell_id equi-join funnels a ~20M-pair
+background (10k edges, one cell row each, over a 100x100-cell area).
+10,000 observation points sit inside the hot cell and 20,000 spread
+uniformly — so the unsalted cell_id equi-join funnels a ~200M-pair
 distance workload into the ONE shuffle task that owns the hot cell.
+Broadcast is disabled in the children because at 100 TB the edge-cells
+table is far beyond any broadcast budget — the shuffled join is the
+honest shape whose hot key this measures; radius=100 keeps the
+straggler the join task itself rather than a uniformly-partitioned
+downstream dedup/window over the pair flood.
 
 Measured per config (fresh JVM per run, local[8], event-log parsed for
 per-task durations):
@@ -37,7 +42,7 @@ sys.path.insert(0, REPO)
 
 HOT_EDGES = 20_000
 BG_EDGES = 10_000
-HOT_PTS = 1_000
+HOT_PTS = 10_000
 BG_PTS = 20_000
 SALT = 8
 
@@ -65,6 +70,7 @@ def planted_world(spark):
         (20050.0 + ((F.col("id") / 120).cast("long") % 120) * 16.0).alias("y2"),
         (F.col("id") % 8).cast("int").alias("level"),
         (F.col("id") % 7 == 0).alias("oneway"),
+        F.lit(10.0).alias("length"),
     )
     # background edges: one per ~cell over a 100x100-cell field, away
     # from the hot cell's 3x3 padded neighborhood
@@ -78,6 +84,7 @@ def planted_world(spark):
         (40000.0 + ((F.col("id") / 100).cast("long") % 100) * 2000.0 + 900.0).alias("y2"),
         (F.col("id") % 8).cast("int").alias("level"),
         (F.col("id") % 7 == 0).alias("oneway"),
+        F.lit(900.0).alias("length"),
     )
     edges = hot_e.unionAll(bg_e)
 
@@ -108,11 +115,17 @@ def child(cfg_name: str, evlog_dir: str) -> None:
         SparkSession.builder.master("local[8]")
         .appName(f"skew_{cfg_name}")
         .config("spark.sql.shuffle.partitions", "8")
+        # at 100 TB the edge-cells table is far beyond any broadcast
+        # budget; on this toy world Spark would otherwise broadcast the
+        # 30k-edge side and hide the shuffle whose hot key we're measuring
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", cfg["skewjoin"])
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{evlog_dir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
@@ -121,14 +134,26 @@ def child(cfg_name: str, evlog_dir: str) -> None:
 
     pts, eds = planted_world(spark)
     t0 = time.perf_counter()
-    out = candidate_edges(pts, eds, salt=cfg["salt"])
+    # radius 100 (the reference's mid snap radius): the hot task still
+    # evaluates all ~20M planted pairs but emits only the ~2% within
+    # radius, so the measured straggler is the join task itself, not a
+    # uniformly-partitioned downstream dedup/window over the pair flood
+    out = candidate_edges(pts, eds, radius=100.0, salt=cfg["salt"])
     n = out.count()
     wall = time.perf_counter() - t0
     spark.stop()  # flushes the event log
 
     max_task = 0.0
     n_tasks = 0
-    for path in glob.glob(os.path.join(evlog_dir, "*")):
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_<app>/
+    # events_*) — walk every regular file under the log dir
+    paths = [
+        os.path.join(root, name)
+        for root, _dirs, names in os.walk(evlog_dir)
+        for name in names
+        if not name.startswith("appstatus_")
+    ]
+    for path in paths:
         with open(path) as f:
             for line in f:
                 try:
