@@ -163,9 +163,28 @@ def extend_box(boxes: np.ndarray) -> tuple[float, float, float, float]:
     )
 
 
+def _dp_dist_to_chord(px, py, x1, y1, x2, y2):
+    """dist_to_segment with the final distance in ``sqrt(dx*dx+dy*dy)``
+    form — the exact expression tree the simplify SQL oracle evaluates
+    (np.hypot rounds differently from SQRT on ~0.6% of inputs, which
+    would flip ``> eps`` splits)."""
+    px, py = np.asarray(px, np.float64), np.asarray(py, np.float64)
+    dx, dy = np.asarray(x2) - x1, np.asarray(y2) - y1
+    len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x1) * dx + (py - y1) * dy) / len2
+    t = np.clip(np.where(len2 > 0, t, 0.0), 0.0, 1.0)
+    rx, ry = px - (x1 + t * dx), py - (y1 + t * dy)
+    return np.sqrt(rx * rx + ry * ry)
+
+
 def douglas_peucker(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
     """Polyline simplification; returns boolean keep-mask
-    (reference ``simplify`` Geo.h:1041-1075, applied with 0.5 m)."""
+    (reference ``simplify`` Geo.h:1041-1075, applied with 0.5 m).
+
+    Tie-break: np.argmax keeps the FIRST maximum, so the split vertex
+    is the lexicographic (deviation DESC, index ASC) winner — the SQL
+    oracle's NOT-EXISTS predicate replays exactly that."""
     n = len(xs)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[n - 1] = True
@@ -174,7 +193,9 @@ def douglas_peucker(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
         i, j = stack.pop()
         if j <= i + 1:
             continue
-        seg = dist_to_segment(xs[i + 1 : j], ys[i + 1 : j], xs[i], ys[i], xs[j], ys[j])
+        seg = _dp_dist_to_chord(
+            xs[i + 1 : j], ys[i + 1 : j], xs[i], ys[i], xs[j], ys[j]
+        )
         k = int(np.argmax(seg))
         if seg[k] > eps:
             m = i + 1 + k
@@ -222,7 +243,16 @@ MAX_DENSIFY_PTS = 256  # cap the O(n^2) DP: seg grows with path length
 
 
 def _eff_seg(xs, ys, seg: float) -> float:
-    total = float(np.hypot(np.diff(xs), np.diff(ys)).sum())
+    # LEFT-TO-RIGHT sqrt-form accumulation (not np.hypot(...).sum(),
+    # whose pairwise order rounds differently): the SQL oracle replays
+    # this exact chain, and a 1-ulp drift in the total would flip
+    # densify insertion counts (curd < seg_len comparisons downstream).
+    dx = np.diff(np.asarray(xs, np.float64))
+    dy = np.diff(np.asarray(ys, np.float64))
+    sl = np.sqrt(dx * dx + dy * dy)
+    total = 0.0
+    for v in sl:
+        total += float(v)
     return max(seg, total / MAX_DENSIFY_PTS)
 
 

@@ -51,7 +51,7 @@ def frechet_eval(aligned_xy: DataFrame, truth_xy: DataFrame) -> DataFrame:
         bx, by = gb["x"].to_numpy(float), gb["y"].to_numpy(float)
         df_ = frechet_dist(ax, ay, bx, by)
         adf = acc_frechet_dist(ax, ay, bx, by)
-        length = float(np.hypot(np.diff(ax), np.diff(ay)).sum())
+        length = _seq_length(ax, ay)
         return pd.DataFrame(
             [
                 (
@@ -102,11 +102,86 @@ EVAL_SUMMARY_EXPRS: list[tuple[str, str]] = [
 def eval_summary(evaled: DataFrame) -> DataFrame:
     """A6 global summary row: trip counts, unmatched share A_N/N, the
     length-weighted unmatched share A_L/L, and the d_f spread — the
-    reference's printed evaluation block (collector.cpp:389-439)."""
-    return evaled.agg(
-        *[F.expr(sql).cast("double" if name.endswith(("share", "len", "d_f")) else "long").alias(name)
-          for name, sql in EVAL_SUMMARY_EXPRS]
+    reference's printed evaluation block (collector.cpp:389-439).
+
+    Computed as RUNNING window sums ordered by trip_id, taking the last
+    row — value-identical to the plain aggregate but with a pinned
+    left-to-right accumulation order: Spark's unbounded-preceding frame
+    updates its buffer row by row, so the float sums are deterministic
+    (plain SUM partial aggregation combines partitions in arbitrary
+    order) and the DuckDB oracle can replay the identical chain with a
+    recursive accumulator (``eval_summary_seq_sql``)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("trip_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    unm_len = F.when(F.col("unmatched"), F.col("len_m")).otherwise(F.lit(0.0))
+    cum = (
+        evaled.select("trip_id", "d_f", "len_m", "unmatched")
+        .withColumn("n_trips", F.count("*").over(w))
+        .withColumn("n_unmatched", F.sum(F.col("unmatched").cast("long")).over(w))
+        .withColumn("total_len", F.sum("len_m").over(w))
+        .withColumn("unmatched_len", F.sum(unm_len).over(w))
+        .withColumn("sum_d_f", F.sum("d_f").over(w))
+        .withColumn("min_d_f", F.min("d_f").over(w))
+        .withColumn("max_d_f", F.max("d_f").over(w))
+        # the physically-last row of the SAME ordered frame (row_number
+        # over an identical sort shares the window exec, so its order is
+        # the running frame's order even under trip_id ties)
+        .withColumn("rk", F.row_number().over(Window.orderBy("trip_id")))
+        .withColumn(
+            "n_total", F.count("*").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    return cum.filter(F.col("rk") == F.col("n_total")).select(
+        F.col("n_trips").cast("long").alias("n_trips"),
+        F.col("n_unmatched").cast("long").alias("n_unmatched"),
+        (F.col("n_unmatched").cast("double") / F.col("n_trips")).alias("an_share"),
+        F.col("total_len").cast("double").alias("total_len"),
+        F.col("unmatched_len").cast("double").alias("unmatched_len"),
+        (F.col("unmatched_len") / F.col("total_len")).alias("al_share"),
+        (F.col("sum_d_f") / F.col("n_trips")).alias("avg_d_f"),
+        F.col("min_d_f").cast("double").alias("min_d_f"),
+        F.col("max_d_f").cast("double").alias("max_d_f"),
+    )
+
+
+def eval_summary_seq_sql(per_trip_rel: str) -> str:
+    """``eval_summary`` as DuckDB SQL over a per-trip relation with the
+    SAME left-to-right accumulation: DuckDB's running window SUM is
+    tree-aggregated above ~24 rows, so the float sums come from a
+    recursive one-row-per-step accumulator ordered by trip_id instead
+    — bit-identical to Spark's incrementally-updated unbounded frame."""
+    return f"""
+WITH RECURSIVE rows_ AS MATERIALIZED (
+  SELECT trip_id, d_f, len_m, unmatched,
+         ROW_NUMBER() OVER (ORDER BY trip_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM {per_trip_rel} e
+),
+acc(rn, n, n_unm, t_len, u_len, s_df) AS (
+  SELECT rn, n, CAST(unmatched AS BIGINT),
+         len_m, CASE WHEN unmatched THEN len_m ELSE 0.0 END, d_f
+  FROM rows_ WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.n, a.n_unm + CAST(r.unmatched AS BIGINT),
+         a.t_len + r.len_m,
+         a.u_len + (CASE WHEN r.unmatched THEN r.len_m ELSE 0.0 END),
+         a.s_df + r.d_f
+  FROM acc a JOIN rows_ r ON r.rn = a.rn + 1
+)
+SELECT CAST(a.n AS BIGINT) AS n_trips,
+       CAST(a.n_unm AS BIGINT) AS n_unmatched,
+       CAST(a.n_unm AS DOUBLE) / a.n AS an_share,
+       a.t_len AS total_len,
+       a.u_len AS unmatched_len,
+       a.u_len / a.t_len AS al_share,
+       a.s_df / a.n AS avg_d_f,
+       (SELECT MIN(d_f) FROM rows_) AS min_d_f,
+       (SELECT MAX(d_f) FROM rows_) AS max_d_f
+FROM acc a WHERE a.rn = a.n
+"""
 
 
 def eval_summary_sql(per_trip_rel: str) -> str:
@@ -204,11 +279,26 @@ def df_histogram(evaled: DataFrame) -> DataFrame:
 def _cut_positions(xs, ys, px_arr, py_arr):
     """Ordered projectOnAfter positions (PolyLine.h:98-119) of each stop
     onto the polyline; monotone along the line. Returns (positions,
-    seg_len, cum) — shared by segmentize and the per-hop eval."""
+    seg_len, cum) — shared by segmentize and the per-hop eval.
+
+    Float discipline (keeps the DuckDB oracle bit-identical,
+    operators/evalsql.py): distances are ``sqrt(dx*dx + dy*dy)`` — the
+    reference's own dist (Geo.h:362-370) and the exact expression tree
+    SQL evaluates (np.hypot rounds differently on ~0.6% of integer
+    inputs); the cumulative positions accumulate LEFT-TO-RIGHT
+    explicitly (np.cumsum is pairwise above ~8 elements, and DuckDB's
+    running window SUM is sequential only below its tree-leaf size —
+    per-trip polylines stay under both bounds, the loop makes the
+    order unconditional)."""
     seg_dx = np.diff(xs)
     seg_dy = np.diff(ys)
-    seg_len = np.hypot(seg_dx, seg_dy)
-    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    seg_len = np.sqrt(seg_dx * seg_dx + seg_dy * seg_dy)
+    cum = np.empty(len(seg_len) + 1)
+    cum[0] = 0.0
+    acc = 0.0
+    for i, sl in enumerate(seg_len):
+        acc += float(sl)
+        cum[i + 1] = acc
     pos = []
     start_seg = 0
     last_pos = 0.0
@@ -222,13 +312,28 @@ def _cut_positions(xs, ys, px_arr, py_arr):
             )
             t = min(1.0, max(0.0, t))
             qx, qy = xs[si] + t * seg_dx[si], ys[si] + t * seg_dy[si]
-            d = np.hypot(px - qx, py - qy)
+            ddx, ddy = px - qx, py - qy
+            d = np.sqrt(ddx * ddx + ddy * ddy)
             if d < best_d:
                 best_d, best_pos, best_seg = d, cum[si] + t * seg_len[si], si
         last_pos = max(best_pos, last_pos)
         pos.append(last_pos)
         start_seg = best_seg
     return pos, seg_len, cum
+
+
+def _seq_length(xs, ys) -> float:
+    """Polyline length as a LEFT-TO-RIGHT sum of ``sqrt(dx*dx+dy*dy)``
+    segment lengths — the exact accumulation order and expression tree
+    the DuckDB oracles replay (np.hypot(...).sum() is pairwise and
+    rounds differently)."""
+    dx = np.diff(np.asarray(xs, np.float64))
+    dy = np.diff(np.asarray(ys, np.float64))
+    sl = np.sqrt(dx * dx + dy * dy)
+    acc = 0.0
+    for v in sl:
+        acc += float(v)
+    return acc
 
 
 def _sub_polyline(xs, ys, seg_len, cum, a: float, b: float):
@@ -293,7 +398,7 @@ def frechet_hops(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
             tx = np.array([spx[i], spx[i + 1]])
             ty = np.array([spy[i], spy[i + 1]])
             df_ = float(frechet_dist(sx, sy, tx, ty))
-            ln = float(np.hypot(np.diff(sx), np.diff(sy)).sum())
+            ln = _seq_length(sx, sy)
             rows.append(
                 (pdf["trip_id"].iloc[0], i, df_, ln, bool(df_ >= UNMATCHED_DF))
             )
@@ -350,7 +455,7 @@ def acc_frechet_hops(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
             tx = np.array([spx[i], spx[i + 1]])
             ty = np.array([spy[i], spy[i + 1]])
             adf = float(acc_frechet_dist(sx, sy, tx, ty))
-            ln = float(np.hypot(np.diff(sx), np.diff(sy)).sum())
+            ln = _seq_length(sx, sy)
             rows.append((pdf["trip_id"].iloc[0], i, adf, ln))
         return pd.DataFrame(rows, columns=cols)
 

@@ -104,11 +104,18 @@ crow AS MATERIALIZED (
 )"""
 
 
-def viterbi_align_grid_sql() -> str:
+def viterbi_align_grid_sql(final_select: bool = True) -> str:
     """Oracle for ``viterbi_align``: the chosen candidate per (trip,
     seq) with the accumulated optimal cost — layered DP with
     ``total = (dp + hop) + emission`` and first-min (min edge_id)
-    tie-breaks, backtracked from the last layer's argmin."""
+    tie-breaks, backtracked from the last layer's argmin.
+
+    With ``final_select=False`` the fragment ends in a ``valigned``
+    CTE — the chosen node path as (trip_id, seq, x, y) vertices
+    (node coords are the exact lattice integers col*spacing /
+    row*spacing, datagen.nodes) — the polyline the eval-world oracles
+    (operators/evalsql.py: segmentize, frechet_eval, df_histogram,
+    eval_summary) cut and compare downstream."""
     parts = [candidates.candidates_cte_sql(), _hop_ctes(), _crow_cte()]
     parts.append(""",
 dpv0 AS MATERIALIZED (
@@ -158,13 +165,24 @@ vback AS MATERIALIZED (
     WHERE d.li > 0
   )
   SELECT * FROM vb
-)
+)""")
+    if final_select:
+        parts.append("""
 SELECT c.trip_id, c.seq, c.image_id, c.edge_id, c.cand_node, c.emission,
        d.dp AS acc_cost
 FROM vback b
 JOIN dpall d ON d.trip_id = b.trip_id AND d.li = b.li AND d.rix = b.rix
 JOIN crow c ON c.trip_id = b.trip_id AND c.li = b.li AND c.rix = b.rix
 """)
+    else:
+        parts.append(f""",
+valigned AS MATERIALIZED (
+  SELECT c.trip_id, c.seq,
+         CAST((c.cand_node % {C.GRID_N}) * {C.GRID_SPACING!r} AS DOUBLE) AS x,
+         CAST((c.cand_node // {C.GRID_N}) * {C.GRID_SPACING!r} AS DOUBLE) AS y
+  FROM vback b
+  JOIN crow c ON c.trip_id = b.trip_id AND c.li = b.li AND c.rix = b.rix
+)""")
     return "".join(parts)
 
 
