@@ -423,7 +423,13 @@ def eq_reach(
 
     Scale shape: bounded rounds of hash equi-joins keyed by node id,
     localCheckpoint between rounds; frontier size is bounded by the
-    cap/edge-length ratio, never the graph."""
+    cap/edge-length ratio, never the graph.  The per-node min is ONE
+    final groupBy, not one per round: rounds expand only the rows first
+    reached that round (earlier rows were already expanded, and any
+    path through a node is explored from each of its cap-valid
+    arrivals), so the union of round layers carries every <=rounds-hop
+    cap-bounded path cost and min-at-the-end equals min-every-round —
+    two shuffles and two barrier jobs fewer."""
     seeds = snap_stations(stops, station_nodes).select(
         "stop_id", F.col("node_id").alias("seed")
     )
@@ -432,17 +438,20 @@ def eq_reach(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "length"
         )
     ).select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "length")
+    und = und.localCheckpoint(eager=True)  # one scan feeds every round
     st = station_nodes.select(F.col("node_id").alias("node"))
 
-    best = seeds.select(
+    best0 = seeds.select(
         "stop_id", "seed", F.col("seed").alias("node"), F.lit(0.0).alias("cost")
     )
-    for _ in range(rounds):
-        best = best.localCheckpoint(eager=True)
-        exp = best.join(st, "node", "left_anti").unionByName(
-            best.filter((F.col("node") == F.col("seed")) & (F.col("cost") == 0.0))
-        )
-        nxt = (
+    layers = [best0]
+    # round 0 expands the seed itself (a station node — the reference
+    # starts the walk there); every LATER arrival on a station node is
+    # blocked, including an arrival back on a seed.
+    frontier = best0
+    for r in range(rounds):
+        exp = frontier if r == 0 else frontier.join(st, "node", "left_anti")
+        frontier = (
             exp.join(und, "node")
             .select(
                 "stop_id", "seed",
@@ -450,12 +459,15 @@ def eq_reach(
                 (F.col("cost") + F.col("length")).alias("cost"),
             )
             .filter(F.col("cost") <= cap)
+            .localCheckpoint(eager=True)
         )
-        best = (
-            best.unionByName(nxt)
-            .groupBy("stop_id", "seed", "node")
-            .agg(F.min("cost").alias("cost"))
-        )
+        layers.append(frontier)
+    allr = layers[0]
+    for lay in layers[1:]:
+        allr = allr.unionByName(lay)
+    best = allr.groupBy("stop_id", "seed", "node").agg(
+        F.min("cost").alias("cost")
+    )
     hits = (
         best.filter(F.col("node") != F.col("seed"))
         .join(st, "node")
