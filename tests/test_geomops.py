@@ -128,6 +128,30 @@ def test_trip_hull_matches_numpy_hull(spark):
         assert r.hull_area == pytest.approx(geo.polygon_area(xs[hull], ys[hull]))
 
 
+def test_hull_prefilter_keeps_hull_and_prunes(spark):
+    """Akl–Toussaint survivors contain every hull vertex (so the cubic
+    step sees everything it needs) while pruning the bulk of a random
+    cloud (the scale claim: the cubic term runs on O(hull) points)."""
+    from pfaedle_spark.operators import geomops
+
+    rng = np.random.RandomState(7)
+    n = 400
+    xs = rng.randint(0, 1 << 17, n).astype(float)
+    ys = rng.randint(0, 1 << 17, n).astype(float)
+    rows = [
+        {"trip_id": "t0", "id": int(i), "x": float(xs[i]), "y": float(ys[i])}
+        for i in range(n)
+    ]
+    p = spark.createDataFrame(rows).select("trip_id", "id", "x", "y")
+    surv = {r.id for r in geomops._hull_survivors(p).collect()}
+    hull_ids = set(geo.convex_hull(xs, ys).tolist())
+    assert hull_ids <= surv
+    # uniform-in-square is the prefilter's worst natural case (the
+    # extreme quad covers ~half the square) — expect roughly half
+    # pruned, i.e. ~8x off the cubic term; real GPS clouds prune more
+    assert len(surv) <= n // 2 + n // 10
+
+
 def test_box_overlaps_matches_oracle(spark):
     from conftest import SF_DIR
 
