@@ -245,54 +245,134 @@ def lsh_bands(signatures: DataFrame, bands: int = BANDS) -> DataFrame:
     )
 
 
-def _bands_cte(bands: int = BANDS) -> str:
-    rows = NUM_PERMS // bands
-    return f"""{_minhash_cte()},
+# --------------------------------------------------------------------
+# shared array-native pair kernel
+# --------------------------------------------------------------------
+# The whole pair family (minhash_pairs / ngram_jaccard / dedup_chain)
+# runs off ONE per-doc table of (distinct shingle-hash array, signature
+# array) and ONE integer-band candidate join. The exploded-row form
+# (64 sig rows + |shingles| rows per doc through three joins) measured
+# ~2x slower at sf0.1 and scaled 0.66 at N->4N vs 0.77 array-native —
+# the decomposition is in SCALING.md round-4 notes.
+
+
+def _doc_arrays(docs: DataFrame) -> DataFrame:
+    """Per-doc (hs = distinct shingle-hash array, sig = minhash
+    signature array), eagerly materialized: the md5-per-token hash is
+    the dominant CPU of the family and every consumer branches off it
+    at least twice. The EAGER localCheckpoint makes the materialization
+    its own fully-parallel job at a deterministic point."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.filter(F.size(toks) >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.array_distinct(_shingle_hash_arr(toks, SHINGLE_K)).alias("hs"),
+        )
+        .withColumn("sig", _minhash_fold(F.col("hs")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _int_band_arr():
+    """Integer band signatures: the same rolling polynomial as the
+    shingle hash, folded over each signature SLICE — an 8-byte join key
+    instead of lsh_bands' 32-char md5 string (1 string build + 1 md5
+    per band-row saved; the self-join compares longs). Collisions in
+    the 2^31 space add a few deterministic spurious candidate pairs per
+    million docs — identical in both engines (the oracle folds the same
+    polynomial via list_reduce), and spurious pairs just score near-0
+    like any LSH false positive."""
+    rows = NUM_PERMS // BANDS
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("sig"), b * rows + 1, rows),
+            F.lit(0).cast("long"),
+            lambda acc, mh: (acc * ROLL_B + mh) % P31,
+        ),
+    )
+
+
+def _band_pairs(arr: DataFrame) -> DataFrame:
+    """LSH candidate pairs from the array table: explode integer bands,
+    one equi-self-join, ordered dedup."""
+    bands = arr.select("doc_id", F.posexplode(_int_band_arr()).alias("band", "band_sig"))
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _pair_members(arr: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Array rows of pair MEMBERS only: the pair list is sparse, so
+    shuffling the full array table into the scoring joins moves
+    mostly-dead rows — at 10^12 docs that full-table shuffle IS the
+    job. A broadcast semi-join on the (small) member list drops it
+    map-side before any exchange. No .distinct() on the member list:
+    the left_semi hash build dedups keys natively."""
+    pair_docs = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    return arr.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+
+
+def _int_pairs_cte() -> str:
+    """Oracle twin of _doc_arrays + _band_pairs: sig/shingles CTEs plus
+    the integer band fold (list_reduce seed = first element ≡ Spark's
+    0-init fold, since (0*B + x) % P = x) and the ordered pair dedup."""
+    rows = NUM_PERMS // BANDS
+    return f"""{_minhash_cte().lstrip()},
 bands AS (
   SELECT doc_id, CAST(perm // {rows} AS INT) AS band,
-         MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+         LIST_REDUCE(LIST(minhash ORDER BY perm),
+                     (a, b) -> (a * {ROLL_B} + b) % {P31}) AS band_sig
   FROM sig GROUP BY doc_id, perm // {rows}
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
 )"""
 
 
 def minhash_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (= matching-perm share).
 
-    Bucket self-join on (band, band_sig); signature agreement computed
-    from the signatures themselves (exact rational k/NUM_PERMS)."""
-    # the signature table feeds THREE consumers (bands + both sides of
-    # the agreement join): materialize once or the md5-per-shingle
-    # signature fold re-runs per branch — the dominant cost of the query
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
-    bands = lsh_bands(sig)
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
-    pairs = (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
+    Integer-band bucket self-join on the shared array kernel; signature
+    agreement is one zip_with over the two signature ARRAYS (exact
+    rational k/NUM_PERMS) — per pair the shuffle carries 2 arrays, not
+    2 x NUM_PERMS exploded rows."""
+    arr = _doc_arrays(docs)
+    pairs = _band_pairs(arr)
+    m = _pair_members(arr, pairs)
+    sa = m.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = m.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     return (
         pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")) / F.lit(NUM_PERMS))
-            .alias("est_jaccard")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(NUM_PERMS)
+            ).alias("est_jaccard"),
         )
     )
 
 
 def minhash_pairs_sql() -> str:
-    return f"""WITH {_bands_cte().lstrip()},
-cand_pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-  WHERE a.doc_id < b.doc_id
-)
+    return f"""WITH {_int_pairs_cte().lstrip()}
 SELECT p.doc_a, p.doc_b,
        CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
          / {NUM_PERMS} AS est_jaccard
@@ -310,41 +390,29 @@ GROUP BY p.doc_a, p.doc_b
 def ngram_jaccard(docs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for every LSH candidate pair.
 
-    |A ∩ B| via join on (shingle hash), |A ∪ B| = |A|+|B|-|A∩B|; the
-    division of two exact integers is bit-identical across engines."""
-    # shingles feed sizes + both join sides; the LSH pair list feeds the
-    # intersection join and the left-join spine — materialize each once
-    sh = shingles(docs).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    pairs = minhash_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_hash")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_hash")
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "sh_hash"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
-    )
+    |A ∩ B| = array_intersect over the two (distinct) shingle-hash
+    arrays of the shared kernel, |A ∪ B| = |A|+|B|-|A∩B|; the division
+    of two exact integers is bit-identical across engines. Per pair the
+    shuffle carries 2 arrays — never |shingles| exploded rows."""
+    arr = _doc_arrays(docs)
+    pairs = _band_pairs(arr)
+    m = _pair_members(arr, pairs)
+    pa = m.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    pb = m.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
-            "doc_a", "doc_b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-            .alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            (n_inter / (F.size("hs_a") + F.size("hs_b") - n_inter)).alias("jaccard"),
         )
     )
 
 
 def ngram_jaccard_sql() -> str:
-    return f"""WITH {_bands_cte().lstrip()},
-cand_pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-  WHERE a.doc_id < b.doc_id
-),
+    return f"""WITH {_int_pairs_cte().lstrip()},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
@@ -373,13 +441,12 @@ def dedup_chain(docs: DataFrame) -> DataFrame:
     candidate pairs -> estimated AND exact n-gram Jaccard).
 
     The standalone operators (minhash_pairs / ngram_jaccard) each
-    re-derive shingles and signatures so their oracles stay
-    self-contained — composing them naively computes the signature
-    table twice and the shingle table three times. At 10^12 docs that
-    recomputation IS the bill, so the production chain materializes a
-    single per-doc (hash array, signature array) table and the pair
-    list once (EAGER localCheckpoint: each materialization is its own
-    fully-parallel job at a deterministic point — the lazy form
+    materialize their own copy of the shared kernel so their oracles
+    stay self-contained — composing them naively computes the array
+    table twice and the pair list twice. At 10^12 docs that
+    recomputation IS the bill, so the production chain materializes
+    each exactly once (EAGER localCheckpoint: each materialization is
+    its own fully-parallel job at a deterministic point — the lazy form
     materializes whenever AQE's .rdd access inside a downstream plan
     build first touches it, which made per-stage timings
     unattributable) and scores pairs with array expressions over it.
@@ -388,65 +455,16 @@ def dedup_chain(docs: DataFrame) -> DataFrame:
     metric=group_size) unioned with kind='pair' rows (a=doc_a, b=doc_b,
     est_jaccard, metric=exact jaccard).
     """
-    # hash every token ONCE and stay ARRAY-NATIVE end to end: the
-    # md5-per-token rolling hash is the dominant CPU of the family, and
-    # shingles()/minhash_signatures() each re-derive it from text; the
-    # exploded-row scoring joins (64 sig rows + |shingles| rows per doc)
-    # then dominate the tail with many small AQE stages. The chain
-    # instead checkpoints ONE table of per-doc (shingle-hash array,
-    # signature array); bands come from md5 over signature SLICES, and
-    # the per-pair scores are zip_with/array_intersect column
-    # expressions over exactly two array lookups — per pair the shuffle
-    # carries 2 arrays, not 64+|shingles| rows. Measured at sf0.1 x96,
+    # hash every token ONCE and stay ARRAY-NATIVE end to end via the
+    # shared kernel (_doc_arrays/_band_pairs/_pair_members — the same
+    # three tables the standalone operators use; sharing them is the
+    # whole point of the chain): per pair the scoring shuffle carries
+    # 2 arrays, not 64+|shingles| exploded rows. Measured at sf0.1 x96,
     # local[8]: throughput +52% over the exploded-row chain and N->4N
     # 0.66 -> 0.77 (full decomposition in SCALING.md round-4 notes).
-    toks = F.split(F.col("text"), " ")
-    arr = (
-        docs.filter(F.size(toks) >= SHINGLE_K)
-        .select(
-            "doc_id",
-            F.array_distinct(_shingle_hash_arr(toks, SHINGLE_K)).alias("hs"),
-        )
-        .withColumn("sig", _minhash_fold(F.col("hs")))
-        .localCheckpoint(eager=True)
-    )
-    # integer band signatures: the same rolling polynomial as the
-    # shingle hash, folded over each signature SLICE — an 8-byte join
-    # key instead of lsh_bands' 32-char md5 string (1 string build + 1
-    # md5 per band-row saved; the self-join compares longs). Collisions
-    # in the 2^31 space add a few deterministic spurious candidate
-    # pairs per million docs — identical in both engines (the oracle
-    # folds the same polynomial via list_reduce), and spurious pairs
-    # just score near-0 like any LSH false positive.
-    rows = NUM_PERMS // BANDS
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(BANDS - 1)),
-        lambda b: F.aggregate(
-            F.slice(F.col("sig"), b * rows + 1, rows),
-            F.lit(0).cast("long"),
-            lambda acc, mh: (acc * ROLL_B + mh) % P31,
-        ),
-    )
-    bands = arr.select("doc_id", F.posexplode(band_arr).alias("band", "band_sig"))
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
-    pairs = (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # score only pair MEMBERS: the pair list is sparse, so shuffling the
-    # full array table into the scoring joins moves mostly-dead rows —
-    # at 10^12 docs that full-table shuffle IS the job. A broadcast
-    # semi-join on the (small) pair-member list drops it map-side
-    # before any exchange.
-    pair_docs = pairs.select(F.col("doc_a").alias("doc_id")).union(
-        pairs.select(F.col("doc_b").alias("doc_id"))
-    )  # no .distinct(): the left_semi hash build dedups keys natively,
-    # and the explicit exchange+agg was a whole extra (non-scaling) stage
-    m = arr.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    arr = _doc_arrays(docs)
+    pairs = _band_pairs(arr).localCheckpoint(eager=True)
+    m = _pair_members(arr, pairs)
     pa = m.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),
@@ -497,19 +515,7 @@ def dedup_chain_sql() -> str:
     chain's integer polynomial over the per-band minhashes in perm
     order (list_reduce seed = first element ≡ Spark's 0-init fold,
     since (0*B + x) % P = x)."""
-    rows = NUM_PERMS // BANDS
-    return f"""WITH {_minhash_cte().lstrip()},
-bands AS (
-  SELECT doc_id, CAST(perm // {rows} AS INT) AS band,
-         LIST_REDUCE(LIST(minhash ORDER BY perm),
-                     (a, b) -> (a * {ROLL_B} + b) % {P31}) AS band_sig
-  FROM sig GROUP BY doc_id, perm // {rows}
-),
-cand_pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-  WHERE a.doc_id < b.doc_id
-),
+    return f"""WITH {_int_pairs_cte().lstrip()},
 est AS (
   SELECT p.doc_a, p.doc_b,
          CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
@@ -612,14 +618,17 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     ).withColumn("ckey", F.expr("(simhash >> (chunk * 8)) & 255"))
     a = chunked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "ckey")
     b = chunked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "ckey")
+    # hamming filters BEFORE the distinct: bit_count on two longs is
+    # ~free per collision row, and filtering first means the distinct
+    # shuffle carries only true near-dup pairs (a vanishing fraction of
+    # band collisions) instead of every colliding chunk row
     return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -300,8 +300,11 @@ def _neardup_variants(embeddings: DataFrame) -> DataFrame:
     return base.unionByName(var)
 
 
-def _srp_banded(vectors: DataFrame) -> DataFrame:
-    """vec_id, qv, norm2 -> exploded (band, key) bucket rows."""
+def _srp_signatures(vectors: DataFrame) -> DataFrame:
+    """vec_id, qv -> (vec_id, qv, norm2, keys): per-vector SRP band
+    keys as ONE array column, pre-explosion — so one checkpointed table
+    can feed both the (id, band, key) bucket rows and the (qv, norm2)
+    scoring fetch without recomputing the 32x64 hyperplane products."""
     idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1)).cast("array<long>")
     weight = lambda j, d: (F.lit(_LCG_MUL) * (j * EMB_DIM + d) + _LCG_ADD) % _LCG_MOD - _LCG_HALF
     bits = F.transform(
@@ -314,44 +317,69 @@ def _srp_banded(vectors: DataFrame) -> DataFrame:
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
+    # bits materializes as its own column FIRST: referencing the 32x64
+    # hyperplane expression inside the keys lambda would re-evaluate it
+    # once per band (no CSE across HOF lambda scopes — the measured 10x
+    # trap documented at dedup._shingle_hash_arr)
     pw = F.array(*[F.lit(1 << i).cast("long") for i in range(BAND_W)])
-    return (
-        vectors.select(
-            "vec_id", "qv",
-            _dot(F.col("qv"), F.col("qv")).alias("norm2"),
-            bits.alias("bits"),
-        )
-        .select(
-            "vec_id", "qv", "norm2", "bits",
-            F.explode(F.sequence(F.lit(0), F.lit(SRP_BANDS - 1))).alias("band"),
-        )
-        .withColumn("key", _dot(F.slice(F.col("bits"), F.col("band") * BAND_W + 1, BAND_W), pw))
-        .drop("bits")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(SRP_BANDS - 1)),
+        lambda band: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("bits"), band * BAND_W + 1, BAND_W), pw, lambda x, y: x * y
+            ),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ),
     )
+    return vectors.select(
+        "vec_id", "qv",
+        _dot(F.col("qv"), F.col("qv")).alias("norm2"),
+        bits.alias("bits"),
+    ).select("vec_id", "qv", "norm2", keys.alias("keys"))
 
 
 def emb_neardup(embeddings: DataFrame, thresh: float = NEARDUP_THRESH) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via banded SRP-LSH."""
-    # both sides of the bucket self-join read the signatures — without a
-    # cut each side re-runs the 32x64 hyperplane dot products per vector
-    banded = _srp_banded(_neardup_variants(embeddings)).localCheckpoint(eager=False)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"),
-        F.col("a.qv").alias("aqv"), F.col("b.qv").alias("bqv"),
-        F.col("a.norm2").alias("na"), F.col("b.norm2").alias("nb"),
+    """Embedding-cosine near-duplicate pairs via banded SRP-LSH.
+
+    The bucket self-join moves (vec_id, band, key) ONLY — carrying the
+    64-long qv through it ships each array SRP_BANDS x on both sides of
+    the exchange, and the old shape scored one cosine per colliding
+    BAND pair before deduping. Instead: dedup to id pairs first, then
+    fetch (qv, norm2) for pair MEMBERS via a broadcast semi-join (the
+    pair list is sparse; the full-table shuffle is mostly dead rows at
+    scale) and score each pair exactly once."""
+    # both sides of the bucket self-join and the member fetch read the
+    # same table — without a cut each branch re-runs the 32x64
+    # hyperplane dot products per vector; checkpoint the COMPACT
+    # pre-explosion signatures (one row per vector, keys as an array)
+    sig = _srp_signatures(_neardup_variants(embeddings)).localCheckpoint(eager=True)
+    arr = sig.select("vec_id", "qv", "norm2")
+    bucket = sig.select("vec_id", F.posexplode("keys").alias("band", "key"))
+    a = bucket.select(F.col("vec_id").alias("a_id"), "band", "key")
+    b = bucket.select(F.col("vec_id").alias("b_id"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    members = pairs.select(F.col("a_id").alias("vec_id")).union(
+        pairs.select(F.col("b_id").alias("vec_id"))
+    )
+    m = arr.join(F.broadcast(members), "vec_id", "left_semi")
+    pa = m.select(
+        F.col("vec_id").alias("a_id"), F.col("qv").alias("aqv"), F.col("norm2").alias("na")
+    )
+    pb = m.select(
+        F.col("vec_id").alias("b_id"), F.col("qv").alias("bqv"), F.col("norm2").alias("nb")
     )
     return (
-        cand.withColumn("dot", _dot(F.col("aqv"), F.col("bqv")))
+        pairs.join(pa, "a_id")
+        .join(pb, "b_id")
+        .withColumn("dot", _dot(F.col("aqv"), F.col("bqv")))
         .withColumn("cosine", _cosine(F.col("dot"), F.col("na"), F.col("nb")))
         .filter(F.col("cosine") >= thresh)
         .select("a_id", "b_id", "cosine")
-        .distinct()
     )
 
 
