@@ -97,21 +97,36 @@ FROM keyed k JOIN grp g USING (text_hash)
 ROLL_B = 1000003  # polynomial base of the shingle rolling hash
 
 
-def _shingle_hash_arr(toks, k: int):
-    """Array of shingle hashes: integer polynomial over the k token
-    hashes, (((th[i]*B % P) + th[i+1]) * B % P + ...) % P. Intermediates
-    stay < P*B ~ 2.1e15, well inside BIGINT — bit-identical in DuckDB.
+def _tok_hash_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, th): one md5 per token, materialized in its OWN
+    projection. The shingle builder then slices the HASH array k times
+    (cheap array reads); slicing the token array and hashing each slice
+    would md5 every token k times — the two-projection form measured 2x
+    faster on sf0.1 and is bit-identical. CollapseProject keeps the two
+    projects apart because `th` is a non-cheap expression referenced k
+    times downstream (SPARK-36718), so the hash really runs once.
 
-    Built by zip_with over k SHIFTED SLICES, not element_at inside a
-    transform lambda: a non-trivial child expression referenced inside a
-    HOF lambda is re-evaluated per element (no CSE across lambda
-    scopes), which turns n md5s into O(k*n^2) — measured 10x slower on
-    this exact operator. Each slice evaluates its child once."""
-    n_sh = F.size(toks) - (k - 1)
-    parts = [
-        F.transform(F.slice(toks, j + 1, n_sh), lambda t: h31(t))
-        for j in range(k)
-    ]
+    Also applies the family-wide short-doc filter (LEN(toks) >= k),
+    matching the oracle CTEs."""
+    toks = F.split(F.col("text"), " ")
+    return docs.filter(F.size(toks) >= k).select(
+        "doc_id", F.transform(toks, lambda t: h31(t)).alias("th")
+    )
+
+
+def _shingle_from_th(k: int = SHINGLE_K):
+    """Array of shingle hashes from the materialized token-hash array
+    `th`: integer polynomial (((th[i]*B % P) + th[i+1]) * B % P + ...)
+    % P. Intermediates stay < P*B ~ 2.1e15, well inside BIGINT —
+    bit-identical in DuckDB.
+
+    Built by zip_with over k SHIFTED SLICES of the `th` column, not
+    element_at inside a transform lambda: a non-trivial child expression
+    referenced inside a HOF lambda is re-evaluated per element (no CSE
+    across lambda scopes), which turns n hashes into O(k*n^2) —
+    measured 10x slower on this exact operator."""
+    n_sh = F.size(F.col("th")) - (k - 1)
+    parts = [F.slice(F.col("th"), j + 1, n_sh) for j in range(k)]
     sh = parts[0]
     for j in range(1, k):
         sh = F.zip_with(sh, parts[j], lambda a, b: (a * ROLL_B % P31 + b) % P31)
@@ -128,17 +143,15 @@ def _roll_sql(i_base: str, k: int) -> str:
 def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """Distinct word k-shingle hashes per doc.
 
-    One md5 per TOKEN (not per shingle string — measured the dominant
-    cost of the dedup family), combined per shingle with a pure-integer
-    rolling polynomial; per-doc dedup happens array-side
-    (array_distinct), so the operator is completely shuffle-free.
+    One md5 per TOKEN (not per shingle string, and not per token per
+    slice — measured the dominant cost of the dedup family), combined
+    per shingle with a pure-integer rolling polynomial; per-doc dedup
+    happens array-side (array_distinct), so the operator is completely
+    shuffle-free.
     """
-    toks = F.split(F.col("text"), " ")
-    sh = F.array_distinct(_shingle_hash_arr(toks, k))
-    # short docs filtered out, matching the oracle's LEN(toks) >= k
-    return (
-        docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(sh).alias("sh_hash"))
+    return _tok_hash_df(docs, k).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_from_th(k))).alias("sh_hash"),
     )
 
 
@@ -205,12 +218,10 @@ def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame
     old explode(num_perms x shingles)+groupBy plan shuffled
     |docs| x |shingles| x num_perms rows for the same result.
     """
-    toks = F.split(F.col("text"), " ")
     k = SHINGLE_K
-    hs = F.array_distinct(_shingle_hash_arr(toks, k))
-    return (
-        docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.posexplode(_minhash_fold(hs, num_perms)).alias("perm", "minhash"))
+    hs = F.array_distinct(_shingle_from_th(k))
+    return _tok_hash_df(docs, k).select(
+        "doc_id", F.posexplode(_minhash_fold(hs, num_perms)).alias("perm", "minhash")
     )
 
 
@@ -262,13 +273,9 @@ def _doc_arrays(docs: DataFrame) -> DataFrame:
     the dominant CPU of the family and every consumer branches off it
     at least twice. The EAGER localCheckpoint makes the materialization
     its own fully-parallel job at a deterministic point."""
-    toks = F.split(F.col("text"), " ")
     return (
-        docs.filter(F.size(toks) >= SHINGLE_K)
-        .select(
-            "doc_id",
-            F.array_distinct(_shingle_hash_arr(toks, SHINGLE_K)).alias("hs"),
-        )
+        _tok_hash_df(docs)
+        .select("doc_id", F.array_distinct(_shingle_from_th()).alias("hs"))
         .withColumn("sig", _minhash_fold(F.col("hs")))
         .localCheckpoint(eager=True)
     )

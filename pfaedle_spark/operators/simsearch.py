@@ -320,7 +320,7 @@ def _srp_signatures(vectors: DataFrame) -> DataFrame:
     # bits materializes as its own column FIRST: referencing the 32x64
     # hyperplane expression inside the keys lambda would re-evaluate it
     # once per band (no CSE across HOF lambda scopes — the measured 10x
-    # trap documented at dedup._shingle_hash_arr)
+    # trap documented at dedup._shingle_from_th)
     pw = F.array(*[F.lit(1 << i).cast("long") for i in range(BAND_W)])
     keys = F.transform(
         F.sequence(F.lit(0), F.lit(SRP_BANDS - 1)),
