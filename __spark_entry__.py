@@ -219,7 +219,7 @@ def _q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs: phash hamming <= 4 via pigeonhole byte-chunk
+    """Image near-dup pairs: phash hamming <= 4 via pigeonhole chunk
     banding (the image-payload twin of simhash_pairs)."""
     return dedup.phash_neardup(datagen.points(spark, sf_dir))
 

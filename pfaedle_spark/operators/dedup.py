@@ -4,7 +4,7 @@ Large-scale training-data pipeline ops, Spark-first:
 
 * exact dedup       — md5-groupBy (one shuffle, map-side combinable)
 * MinHash + LSH     — shingle -> minhash signature -> band -> bucket join
-* SimHash           — 32-bit signature + pigeonhole-banded near-dup pairs
+* SimHash           — 60-bit signature + pigeonhole-banded near-dup pairs
 * n-gram Jaccard    — exact similarity on LSH candidate pairs only
 
 Everything is built-in column expressions (JVM-side, codegen); the only
@@ -31,8 +31,9 @@ NUM_PERMS = 16
 BANDS = 4                 # 4 bands x 4 rows
 ROWS_PER_BAND = NUM_PERMS // BANDS
 SHINGLE_K = 3             # word trigrams
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4        # pigeonhole: hamming<=3 => one of 4 byte-chunks equal
+SIMHASH_BITS = 60         # full md5-prefix width (15 hex chars)
+SIMHASH_CHUNKS = 4        # pigeonhole: hamming<=3 => one of 4 chunks equal
+SIMHASH_CHUNK_W = SIMHASH_BITS // SIMHASH_CHUNKS  # 15-bit chunk keys
 HAMMING_MAX = 3
 
 
@@ -48,13 +49,22 @@ corpus AS (
 )"""
 
 
+def h60(col: Column) -> Column:
+    """60-bit md5 prefix as integer (both engines, exact)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || SUBSTRING(MD5({expr}), 1, 15)) AS BIGINT)"
+
+
 def h31(col: Column) -> Column:
     """60-bit md5 prefix as integer, reduced mod 2^31-1 (both engines)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % P31
+    return h60(col) % P31
 
 
 def _h31_sql(expr: str) -> str:
-    return f"(CAST(('0x' || SUBSTRING(MD5({expr}), 1, 15)) AS BIGINT) % {P31})"
+    return f"({_h60_sql(expr)} % {P31})"
 
 
 # --------------------------------------------------------------------
@@ -562,15 +572,20 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash per doc from token-occurrence counts.
+    """60-bit SimHash per doc from token-occurrence counts.
 
-    (doc, token, cnt) x 32 bit positions -> signed sums -> bit set iff
-    sum > 0. All shuffles keyed by doc_id."""
+    (doc, token, cnt) x 60 bit positions -> signed sums -> bit set iff
+    sum > 0. All shuffles keyed by doc_id. 60 bits (the full md5-prefix
+    width) rather than 32: the pair join's pigeonhole chunk key is
+    SIMHASH_BITS/4 bits wide, and chunk-key cardinality is what divides
+    the quadratic bucket density at corpus scale — 15-bit keys give
+    128x fewer collisions per chunk than byte keys, and random 60-bit
+    signatures essentially never sit within hamming 3 by accident."""
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .withColumn("th", h31(F.col("tok")))
+        .withColumn("th", h60(F.col("tok")))
     )
     bits = toks.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
     signed = bits.withColumn(
@@ -589,7 +604,7 @@ def _simhash_cte() -> str:
     return f"""
 {CORPUS_CTE.lstrip()},
 tokc AS (
-  SELECT doc_id, tok, COUNT(*) AS cnt, {_h31_sql('tok')} AS th
+  SELECT doc_id, tok, COUNT(*) AS cnt, {_h60_sql('tok')} AS th
   FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM corpus)
   GROUP BY doc_id, tok
 ),
@@ -614,15 +629,21 @@ def simhash_table_sql() -> str:
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3 via pigeonhole banding:
-    split the 32-bit signature into 4 bytes — any pair within distance 3
-    shares at least one byte; join per byte-chunk, then exact filter."""
+    split the 60-bit signature into 4 15-bit chunks — any pair within
+    distance 3 shares at least one chunk; join per chunk, then exact
+    filter. 15-bit chunk keys (32768 values) keep per-bucket density —
+    and with it the quadratic candidate blow-up — 128x below byte
+    keys at any corpus size."""
     # materialize signatures before the self-join (as minhash_pairs
     # does): both aliases would otherwise recompute the md5-per-token
     # signature fold, the expensive part of the chain
     sig = simhash(docs).localCheckpoint(eager=False)
     chunked = sig.withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1)))
-    ).withColumn("ckey", F.expr("(simhash >> (chunk * 8)) & 255"))
+    ).withColumn(
+        "ckey",
+        F.expr(f"(simhash >> (chunk * {SIMHASH_CHUNK_W})) & {(1 << SIMHASH_CHUNK_W) - 1}"),
+    )
     a = chunked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "ckey")
     b = chunked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "ckey")
     # hamming filters BEFORE the distinct: bit_count on two longs is
@@ -642,7 +663,8 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
 def simhash_pairs_sql() -> str:
     return f"""WITH {_simhash_cte().lstrip()},
 chunked AS (
-  SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 8)) & 255 AS ckey
+  SELECT doc_id, simhash, c.c AS chunk,
+         (simhash >> (c.c * {SIMHASH_CHUNK_W})) & {(1 << SIMHASH_CHUNK_W) - 1} AS ckey
   FROM sims, (SELECT UNNEST(RANGE(0, {SIMHASH_CHUNKS})) AS c) c
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -658,9 +680,9 @@ WHERE a.doc_id < b.doc_id
 # --------------------------------------------------------------------
 #
 # The image-payload twin of SimHash banding: two images are near-dups
-# when hamming(phash_a, phash_b) <= PHASH_HAM_T. Pigeonhole over the 8
-# byte chunks of the 64-bit phash: <= 7 differing bits guarantee at
-# least one IDENTICAL byte chunk, so the (chunk index, chunk value)
+# when hamming(phash_a, phash_b) <= PHASH_HAM_T. Pigeonhole over 5
+# disjoint 12-13-bit chunks of the 64-bit phash: <= 4 differing bits
+# guarantee at least one IDENTICAL chunk, so the (chunk index, value)
 # equi-join finds every qualifying pair without an all-pairs scan —
 # the same 100 TB shape as simhash_pairs. XOR + bit_count are exact
 # integer ops in both engines.
@@ -671,7 +693,16 @@ WHERE a.doc_id < b.doc_id
 # flipped (hamming <= 3).
 
 PHASH_HAM_T = 4
-PHASH_CHUNKS = 8
+# hamming <= 4 needs only 5 pigeonhole chunks (one is guaranteed
+# intact), and FEWER, WIDER chunks are strictly better: per-chunk
+# bucket density — the quadratic term of banded candidate generation —
+# is corpus_size / key_cardinality, so 12-13-bit keys collide 16-32x
+# less than bytes, and each image ships 5 band rows instead of 8.
+# Output is invariant under the chunk partition (pigeonhole
+# completeness + the exact hamming filter), so this is pure plan shape.
+PHASH_CHUNKS = 5
+_PHASH_OFFS = [0, 13, 26, 39, 52]   # disjoint cover of bits 0..63
+_PHASH_WIDTHS = [13, 13, 13, 13, 12]
 PHASH_VSTRIDE = 6
 PHASH_VOFF = 3_000_000
 
@@ -700,7 +731,8 @@ def phash_corpus(points: DataFrame) -> DataFrame:
 
 def phash_neardup(points: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
     """Near-duplicate image pairs by phash hamming distance via the
-    pigeonhole byte-chunk band join. Output: (a_id, b_id, hamming)."""
+    pigeonhole chunk band join (5 x 12-13-bit chunks). Output:
+    (a_id, b_id, hamming)."""
     corpus = phash_corpus(points)
     chunks = corpus.select(
         "img_id", "phash",
@@ -709,7 +741,10 @@ def phash_neardup(points: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        (F.shiftright(F.col("phash"), 8 * c) % 256).alias("key"),
+                        (
+                            F.shiftright(F.col("phash"), _PHASH_OFFS[c])
+                            .bitwiseAND(F.lit((1 << _PHASH_WIDTHS[c]) - 1))
+                        ).alias("key"),
                     )
                     for c in range(PHASH_CHUNKS)
                 ]
@@ -733,7 +768,10 @@ def phash_neardup(points: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
 def phash_neardup_sql(ham_t: int = PHASH_HAM_T) -> str:
     from .. import sqlgen
 
-    chunk_rows = ", ".join(f"({c})" for c in range(PHASH_CHUNKS))
+    chunk_rows = ", ".join(
+        f"({c}, {_PHASH_OFFS[c]}, {(1 << _PHASH_WIDTHS[c]) - 1})"
+        for c in range(PHASH_CHUNKS)
+    )
     return f"""{sqlgen.with_ctes("points")},
 corpus AS (
   SELECT doc_id AS img_id, phash FROM points
@@ -745,8 +783,8 @@ corpus AS (
   FROM points WHERE doc_id % {PHASH_VSTRIDE} = 0
 ),
 chunks AS (
-  SELECT img_id, phash, c.chunk, (phash >> (8 * c.chunk)) % 256 AS key
-  FROM corpus, (VALUES {chunk_rows}) c(chunk)
+  SELECT img_id, phash, c.chunk, (phash >> c.off) & c.mask AS key
+  FROM corpus, (VALUES {chunk_rows}) c(chunk, off, mask)
 )
 SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
