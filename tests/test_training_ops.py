@@ -199,6 +199,42 @@ def test_phash_neardup_finds_planted_copies(spark):
     assert all(0 < r.hamming <= dedup.PHASH_HAM_T for r in rows)
 
 
+def test_phash_chunk_partition_covers_64_bits():
+    """The 5 pigeonhole chunks must partition bits 0..63 exactly (a gap
+    would break completeness; an overlap would waste band rows) and
+    count one more chunk than the hamming threshold."""
+    assert sum(dedup._PHASH_WIDTHS) == 64
+    off = 0
+    for o, w in zip(dedup._PHASH_OFFS, dedup._PHASH_WIDTHS):
+        assert o == off
+        off += w
+    assert len(dedup._PHASH_OFFS) == dedup.PHASH_CHUNKS == dedup.PHASH_HAM_T + 1
+
+
+def test_phash_pairs_pigeonhole_complete(spark):
+    """Pigeonhole guarantee under the 5-chunk scheme: every pair with
+    hamming <= PHASH_HAM_T appears — brute-checked on the planted
+    neighborhoods (base ids with variants, where qualifying pairs
+    actually exist) plus a spread-id control slice."""
+    from pfaedle_spark import datagen as dg
+
+    corpus = {
+        r.img_id: r.phash for r in dedup.phash_corpus(dg.points(spark, SF_DIR)).collect()
+    }
+    found = {
+        (r.a_id, r.b_id) for r in dedup.phash_neardup(dg.points(spark, SF_DIR)).collect()
+    }
+    varids = [i for i in corpus if i >= dedup.PHASH_VOFF][:60]
+    ids = sorted(
+        set(varids) | {i - dedup.PHASH_VOFF for i in varids} | set(sorted(corpus)[:60])
+    )
+    mask = (1 << 64) - 1
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((corpus[a] ^ corpus[b]) & mask).count("1") <= dedup.PHASH_HAM_T:
+                assert (a, b) in found
+
+
 def test_dedup_chain_matches_composed_oracle(spark):
     """The production composition (shingles/signatures/pairs shared
     once) must agree with the single-CTE-chain oracle — and with the
