@@ -23,7 +23,15 @@ PHASH_MOD = 1 << 62              # keep BIGINT-safe in both engines
 COORD_MASK = 65536               # x = phash % COORD_MASK, y = (phash//COORD_MASK) % COORD_MASK
 
 # --- trips (observation sequences; GTFS stop_times analogue) ---------
-N_TRIPS = 64                     # trip_id = doc_id % N_TRIPS, seq = doc_id // N_TRIPS
+# MAIN grid: corpus growth adds TRIPS, not stops — trip length is a
+# property of the route, not of the fleet size, so layers per trip are
+# constant at every sf and the DP oracles' layer unroll is scale-free
+# (the trip count is the embarrassingly-parallel axis).
+TRIP_LEN = 8                     # trip_id = doc_id // TRIP_LEN, seq = doc_id % TRIP_LEN
+# Corridor + staircase worlds keep the transposed derivation (trip_id =
+# doc_id % N_TRIPS): their oracles recurse per hop, so longer trips at
+# bigger sf are themselves part of the scale evidence there.
+N_TRIPS = 64
 
 # --- Fréchet staircase world (A6 per-hop oracle) ----------------------
 # Integer Manhattan detours keep every intermediate float EXACT (integer

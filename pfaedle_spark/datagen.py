@@ -139,8 +139,8 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (phash % C.COORD_MASK).cast("double").alias("x"),
         # phash may exceed 2^53 — use integer shift, not double division
         (F.shiftright(phash, 16) % C.COORD_MASK).cast("double").alias("y"),
-        F.concat(F.lit("trip_"), (F.col("doc_id") % C.N_TRIPS).cast("string")).alias("trip_id"),
-        F.floor(F.col("doc_id") / C.N_TRIPS).cast("long").alias("seq"),
+        F.concat(F.lit("trip_"), F.floor(F.col("doc_id") / C.TRIP_LEN).cast("long").cast("string")).alias("trip_id"),
+        (F.col("doc_id") % C.TRIP_LEN).cast("long").alias("seq"),
     )
 
 

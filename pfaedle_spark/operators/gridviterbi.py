@@ -23,9 +23,10 @@ REAL float costs. Exactness rests on three proven facts:
 2. **The hop band never binds on the graded worlds.** The R5 band
    (router.cpp:229-306 semantics) can exclude pairs whose pure hop
    exceeds the pilot-derived cap. ``tools/band_probe.py`` replays every
-   rep-fingerprint layer transition at sf0.001 and sf0.01 with
-   band=True vs band=False: 427/427 transitions identical, zero
-   pairwise-repair invocations. The oracle therefore omits the band;
+   rep-fingerprint layer transition at sf0.001/sf0.01 (428/428 each)
+   and sf0.1 (4290/4290) with band=True vs band=False: all transitions
+   identical, zero pairwise-repair invocations at every SF. The oracle
+   therefore omits the band;
    ``tests/test_gridviterbi.py::test_band_never_binds_on_grid`` gates
    this reduction per-commit (the band semantics themselves stay
    cross-gated by the corridor oracle, where the band binds on ~33% of
@@ -46,12 +47,15 @@ Reference semantics: router.cpp:408-549 (layer DP over edge states),
 router.cpp:626-688 (per-layer hop matrix), shape_builder.cpp:676-767
 (A1 clustering; solve reps, broadcast to members).
 
-BF_ROUNDS: the dp-seeded BF reaches fixpoint after 51 rounds at both
-graded SFs (tools/band_probe.py measures the max over all 427 layer
-transitions); 56 adds margin and is pytest-gated
-(``test_bf_rounds_sufficient``). The observation table is doc_id-
-derived only, so the DP input is a pure function of the document COUNT
-(500 at both graded SFs -> at most 8 layers per trip, N_LAYERS below).
+BF_ROUNDS: the dp-seeded BF fixpoint is a property of the FIXED 32x32
+grid (diameter 62 hops), not of the corpus: tools/band_probe.py
+measures the max rounds over every layer transition at the graded SFs;
+56 adds margin over the measured fixpoint and is pytest-gated
+(``test_bf_rounds_sufficient``). Layers per trip are structural —
+``trip_id = doc_id // TRIP_LEN`` pins every trip to at most TRIP_LEN
+observations at ANY sf (corpus growth adds trips, the parallel axis),
+so the N_LAYERS unroll below is scale-free; the sf0.1 full sweep
+(CONTRACT_FULL artifacts) exercises it at 10x the graded corpus.
 """
 
 from __future__ import annotations
@@ -68,13 +72,16 @@ from .edge_routing import (
     transitions_ctes,
 )
 
-N_LAYERS = 8     # max layers per trip at the graded SFs (500 docs / 64 trips)
-BF_ROUNDS = 56   # measured fixpoint 51 + margin; pytest-gated
+N_LAYERS = C.TRIP_LEN  # layers per trip are structural (trip_id = doc_id
+                       # // TRIP_LEN), so the unroll covers EVERY sf
+BF_ROUNDS = 56   # measured fixpoint 52 (sf0.001/sf0.01) / 53 (sf0.1)
+                 # + margin; pytest-gated
 
 # single-seed hop-path BF (shape_geoms): full fixpoint measured at 52
-# rounds over all 427 walked hops at both graded SFs
-# (tools/path_probe.py), which also verified the min-achieving-pred
-# backtrack rule against engine edge_dijkstra_path on every hop.
+# rounds over all 428 walked hops at the graded SFs and 53 over the
+# 4290 hops at sf0.1 (tools/path_probe.py), which also verified the
+# min-achieving-pred backtrack rule against engine edge_dijkstra_path
+# on every hop at every SF.
 PATH_BF_ROUNDS = 56
 
 _INF = "CAST('infinity' AS DOUBLE)"
@@ -276,7 +283,7 @@ def _path_walk_ctes() -> str:
     (heap ties break (f, d, state, idx, pred); strictly positive arc
     costs settle every achieving pred before u pops, so the first pop
     carries the min pred index, and CSR index order IS state-id order
-    via np.unique). Verified pred-rule == edge_dijkstra_path on all 427
+    via np.unique). Verified pred-rule == edge_dijkstra_path on all 428
     hops at both graded SFs (tools/path_probe.py). Ends with
     ``walk(fid, state, hop_seq, n_walk)`` — the engine's walked state
     sequence (each hop path minus its target, then the final chosen

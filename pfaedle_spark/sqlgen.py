@@ -20,8 +20,8 @@ points AS (
          {PHASH}                                      AS phash,
          CAST({PHASH} % {C.COORD_MASK} AS DOUBLE)     AS x,
          CAST(({PHASH} >> 16) % {C.COORD_MASK} AS DOUBLE) AS y,
-         'trip_' || CAST(doc_id % {C.N_TRIPS} AS VARCHAR) AS trip_id,
-         doc_id // {C.N_TRIPS}                        AS seq
+         'trip_' || CAST(doc_id // {C.TRIP_LEN} AS VARCHAR) AS trip_id,
+         doc_id % {C.TRIP_LEN}                        AS seq
   FROM documents
 )"""
 

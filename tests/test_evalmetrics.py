@@ -243,10 +243,10 @@ def test_frechet_hops_per_hop_semantics(spark):
     assert len(pdf) > 0
     assert (pdf["d_f"] >= 0).all() and (pdf["len_m"] >= 0).all()
     assert (pdf["unmatched"] == (pdf["d_f"] >= evalmetrics.UNMATCHED_DF)).all()
-    # hops per trip = stops - 1 (stops = the observation points; an
-    # observation can drop from the ALIGNED side, never from the stops)
+    # hops per trip = stops - 1 (stops = the STAIRCASE world's stops;
+    # an observation can drop from the ALIGNED side, never from stops)
     stops_per_trip = (
-        datagen.points(spark, SF_DIR).groupBy("trip_id").count().toPandas()
+        datagen.fh_stops(spark, SF_DIR).groupBy("trip_id").count().toPandas()
     )
     hops_per_trip = pdf.groupby("trip_id").size()
     for _, r in stops_per_trip.iterrows():

@@ -48,7 +48,8 @@ def test_frechet_eval_real_oracle(spark):
     df, sql = _entry("frechet_eval", spark)
     assert_matches_oracle(df, sql)
     pdf = df.toPandas()
-    assert len(pdf) == 64
+    n_trips = datagen.points(spark, SF_DIR).select("trip_id").distinct().count()
+    assert len(pdf) == n_trips
     assert (pdf["d_f"] > 0).all() and (pdf["len_m"] > 0).all()
     assert (pdf["acc_d_f"] < 2.0 * pdf["d_f"] + 1e-9).all()
 

@@ -86,22 +86,27 @@ def test_viterbi_vs_bruteforce(grid_fw, spark):
     got = routing.viterbi_align(cand, directed).toPandas()
     cand_pdf = cand.toPandas()
 
-    # brute force on every trip with <= 6 layers
+    # brute force every combo on a sample of trips (TOP_K^TRIP_LEN
+    # combos per trip stays small; numpy arrays, not iloc, per layer)
     checked = 0
     for trip_id, tp in cand_pdf.groupby("trip_id"):
+        if checked >= 8:
+            break
         seqs = sorted(tp.seq.unique())
-        if len(seqs) > 6 or len(seqs) < 2:
+        if len(seqs) < 2:
             continue
         layers = [
             tp[tp.seq == s].sort_values("edge_id").reset_index(drop=True) for s in seqs
         ]
+        nodes = [l["cand_node"].to_numpy(dtype=int) for l in layers]
+        dists = [l["dist"].to_numpy() for l in layers]
         best_cost, best_path = np.inf, None
         for combo in itertools.product(*[range(len(l)) for l in layers]):
-            cost = layers[0].iloc[combo[0]]["dist"] * C.CAND_PEN_FAC
+            cost = dists[0][combo[0]] * C.CAND_PEN_FAC
             for i in range(1, len(layers)):
-                a = int(layers[i - 1].iloc[combo[i - 1]]["cand_node"])
-                b = int(layers[i].iloc[combo[i]]["cand_node"])
-                cost += grid_fw[a, b] + layers[i].iloc[combo[i]]["dist"] * C.CAND_PEN_FAC
+                a = nodes[i - 1][combo[i - 1]]
+                b = nodes[i][combo[i]]
+                cost += grid_fw[a, b] + dists[i][combo[i]] * C.CAND_PEN_FAC
             if cost < best_cost - 1e-9:
                 best_cost, best_path = cost, combo
         sub = got[got.trip_id == trip_id].sort_values("seq")
