@@ -21,6 +21,10 @@ print(f"entry(): {n} rows, schema: {[f.name for f in df.schema.fields]}")
 assert n >= 0
 
 con = duckdb.connect()
+# big-SF DP oracles can otherwise grab most of the host's RAM and
+# starve the Spark JVM sharing the box; spill to disk instead.
+con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
@@ -33,15 +37,32 @@ only = [a for a in sys.argv[1:] if not a.startswith("-")]
 if only:
     qs = {k: v for k, v in qs.items() if k in only}
 results = {}
+# long sweeps (sf0.1 DP oracles) survive a kill: per-query results
+# checkpoint to $CKPT after every query, and a restart with the same
+# $CKPT skips the queries already recorded there.
+ckpt = os.environ.get("CKPT")
+if ckpt and os.path.exists(ckpt):
+    with open(ckpt) as fh:
+        results = json.load(fh)
+    print(f"resuming: {len(results)} queries already recorded in {ckpt}")
+
+def record(name, rec):
+    results[name] = rec
+    if ckpt:
+        with open(ckpt, "w") as fh:
+            json.dump(results, fh, indent=1)
+
 for name, fn in qs.items():
+    if name in results:
+        continue
     t0 = time.time()
     try:
         got = norm(fn(spark, SF).toPandas())
     except Exception as exc:  # record, keep sweeping
         print(f"  {name}: ERROR {exc}")
-        results[name] = {"rows_match": False, "schema_match": False,
-                         "hash_match": False, "spark_rows": None,
-                         "oracle_rows": None, "err": str(exc)[:500]}
+        record(name, {"rows_match": False, "schema_match": False,
+                      "hash_match": False, "spark_rows": None,
+                      "oracle_rows": None, "err": str(exc)[:500]})
         continue
     # the driver's value hash is dtype-sensitive: a Spark DECIMAL column
     # arrives as object-dtype Decimal and hash-fails vs DuckDB DOUBLE
@@ -54,10 +75,10 @@ for name, fn in qs.items():
         print(f"  {name}: {len(got)} rows (rows-only, no oracle)")
         # rows_match None = "no oracle to check against", NOT a pass —
         # distinguishes verified rows from an unverifiable surface.
-        results[name] = {"rows_match": None, "schema_match": None,
-                         "hash_match": None, "spark_rows": len(got),
-                         "oracle_rows": None, "err": None,
-                         "note": "rows-only by design (no SQL oracle)"}
+        record(name, {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "spark_rows": len(got),
+                      "oracle_rows": None, "err": None,
+                      "note": "rows-only by design (no SQL oracle)"})
         continue
     want = norm(con.execute(osql[name]).fetchdf())
     ok_cols = list(got.columns) == list(want.columns)
@@ -74,10 +95,10 @@ for name, fn in qs.items():
                 ok_vals = False; print(f"    MISMATCH col {c}")
     verdict = "MATCH" if (ok_cols and ok_rows and ok_vals) else f"FAIL cols={ok_cols} rows={len(got)}/{len(want)} vals={ok_vals}"
     print(f"  {name}: {len(got)} rows [{time.time()-t0:.1f}s] -> {verdict}")
-    results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
-                     "hash_match": bool(ok_cols and ok_rows and ok_vals),
-                     "spark_rows": len(got), "oracle_rows": len(want),
-                     "err": None}
+    record(name, {"rows_match": ok_rows, "schema_match": ok_cols,
+                  "hash_match": bool(ok_cols and ok_rows and ok_vals),
+                  "spark_rows": len(got), "oracle_rows": len(want),
+                  "err": None})
 
 if not only:  # full sweep: publish the compensating artifact
     # number off existing CONTRACT_FULL files (not the driver's
