@@ -80,7 +80,14 @@ for name, fn in qs.items():
                       "oracle_rows": None, "err": None,
                       "note": "rows-only by design (no SQL oracle)"})
         continue
-    want = norm(con.execute(osql[name]).fetchdf())
+    try:
+        want = norm(con.execute(osql[name]).fetchdf())
+    except Exception as exc:  # oracle-side failure (e.g. OOM): record, keep sweeping
+        print(f"  {name}: ORACLE ERROR {exc}")
+        record(name, {"rows_match": False, "schema_match": False,
+                      "hash_match": False, "spark_rows": len(got),
+                      "oracle_rows": None, "err": f"oracle: {str(exc)[:400]}"})
+        continue
     ok_cols = list(got.columns) == list(want.columns)
     ok_rows = len(got) == len(want)
     ok_vals = True
