@@ -300,11 +300,52 @@ def _neardup_variants(embeddings: DataFrame) -> DataFrame:
     return base.unionByName(var)
 
 
-def _srp_signatures(vectors: DataFrame) -> DataFrame:
-    """vec_id, qv -> (vec_id, qv, norm2, keys): per-vector SRP band
-    keys as ONE array column, pre-explosion — so one checkpointed table
-    can feed both the (id, band, key) bucket rows and the (qv, norm2)
-    scoring fetch without recomputing the 32x64 hyperplane products."""
+def _srp_weights():
+    """The (SRP_BITS x EMB_DIM) integer hyperplane matrix, derived from
+    the LCG formula — identical to the SQL oracle's per-component
+    expression, no stored model."""
+    import numpy as np
+
+    j = np.arange(SRP_BITS, dtype=np.int64)[:, None]
+    d = np.arange(EMB_DIM, dtype=np.int64)[None, :]
+    return (_LCG_MUL * (j * EMB_DIM + d) + _LCG_ADD) % _LCG_MOD - _LCG_HALF
+
+
+def _srp_keys_np():
+    """Arrow-batched SRP band keys: ONE int64 matmul per batch.
+
+    The hyperplane pass is 32x64 multiply-adds per vector; as Catalyst
+    higher-order functions that is ~2048 interpreted expression evals
+    per row (HOFs never enter whole-stage codegen) and measured 3.0 s
+    of emb_neardup's 4.5 s at sf0.1.  A pandas UDF does the whole batch
+    as (n,64)@(64,32) in one BLAS-free numpy int64 matmul — bit-identical
+    to the expression form and the DuckDB oracle because every operand
+    is an in-range int64 (|qv| <= ~Q, |w| < 2^31: max |sum| < 2^47, no
+    overflow on either engine), and sign/band packing is pure integer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def srp_keys(qv):
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack([np.asarray(v, dtype=np.int64) for v in qv])
+        bits = (m @ _srp_weights().T >= 0).astype(np.int64)  # (n, SRP_BITS)
+        pw = np.int64(1) << np.arange(BAND_W, dtype=np.int64)
+        keys = bits.reshape(-1, SRP_BANDS, BAND_W) @ pw      # (n, SRP_BANDS)
+        return pd.Series(list(keys))
+
+    # annotations set as OBJECTS (not strings): this module's
+    # `from __future__ import annotations` would stringify inline hints
+    # and pandas_udf can't resolve 'pd.Series' from a nested scope
+    srp_keys.__annotations__ = {"qv": pd.Series, "return": pd.Series}
+    return pandas_udf(srp_keys, "array<long>")
+
+
+def _srp_keys_expr() -> Column:
+    """The same band keys as a pure Catalyst HOF expression — the
+    cross-implementation twin for `_srp_keys_np` (test_training_ops
+    asserts bit-equality; the UDF is the production path)."""
     idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1)).cast("array<long>")
     weight = lambda j, d: (F.lit(_LCG_MUL) * (j * EMB_DIM + d) + _LCG_ADD) % _LCG_MOD - _LCG_HALF
     bits = F.transform(
@@ -317,25 +358,33 @@ def _srp_signatures(vectors: DataFrame) -> DataFrame:
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
-    # bits materializes as its own column FIRST: referencing the 32x64
-    # hyperplane expression inside the keys lambda would re-evaluate it
-    # once per band (no CSE across HOF lambda scopes — the measured 10x
-    # trap documented at dedup._shingle_from_th)
     pw = F.array(*[F.lit(1 << i).cast("long") for i in range(BAND_W)])
-    keys = F.transform(
+    # NOTE: bits must bind via a let-style outer reference if this ever
+    # feeds a multi-band consumer directly — no CSE across HOF lambda
+    # scopes (the measured 10x trap documented at dedup._shingle_from_th).
+    return F.transform(
         F.sequence(F.lit(0), F.lit(SRP_BANDS - 1)),
         lambda band: F.aggregate(
             F.zip_with(
-                F.slice(F.col("bits"), band * BAND_W + 1, BAND_W), pw, lambda x, y: x * y
+                F.slice(bits, band * BAND_W + 1, BAND_W), pw, lambda x, y: x * y
             ),
             F.lit(0).cast("long"), lambda acc, x: acc + x,
         ),
     )
+
+
+def _srp_signatures(vectors: DataFrame) -> DataFrame:
+    """vec_id, qv -> (vec_id, qv, norm2, keys): per-vector SRP band
+    keys as ONE array column, pre-explosion — so one checkpointed table
+    can feed both the (id, band, key) bucket rows and the (qv, norm2)
+    scoring fetch without recomputing the 32x64 hyperplane products.
+    Keys come from the Arrow-batched matmul kernel (`_srp_keys_np`);
+    norm2 stays a JVM array expression (64 ops/row, not worth a UDF)."""
     return vectors.select(
         "vec_id", "qv",
         _dot(F.col("qv"), F.col("qv")).alias("norm2"),
-        bits.alias("bits"),
-    ).select("vec_id", "qv", "norm2", keys.alias("keys"))
+        _srp_keys_np()(F.col("qv")).alias("keys"),
+    )
 
 
 def emb_neardup(embeddings: DataFrame, thresh: float = NEARDUP_THRESH) -> DataFrame:

@@ -163,6 +163,35 @@ def test_emb_neardup_oracle(spark):
     assert_matches_oracle(simsearch.emb_neardup(_emb(spark)), simsearch.emb_neardup_sql())
 
 
+def test_srp_keys_udf_matches_expression_twin(spark):
+    """The Arrow-batched matmul kernel must be bit-identical to the
+    pure Catalyst HOF expression on every vector (base + jittered
+    variants) — both are in-range int64 arithmetic, so any drift is a
+    bug, not float noise."""
+    from pyspark.sql import functions as F
+
+    vecs = simsearch._neardup_variants(_emb(spark))
+    both = vecs.select(
+        "vec_id",
+        simsearch._srp_keys_np()(F.col("qv")).alias("np_keys"),
+        simsearch._srp_keys_expr().alias("expr_keys"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r.np_keys == r.expr_keys, r.vec_id
+
+
+def test_srp_keys_udf_is_arrow_vectorized(spark):
+    """The SRP kernel must run as ArrowEvalPython (pandas batches), not
+    row-at-a-time BatchEvalPython — the no-per-row-Python rule."""
+    plan = (
+        simsearch._srp_signatures(simsearch._neardup_variants(_emb(spark)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_emb_neardup_finds_every_planted_pair(spark):
     """Recall must be exact: every jittered copy pairs with its base
     (cosine ≈ 0.9999), and no pair of distinct base vectors survives
