@@ -305,3 +305,80 @@ def acc_frechet_dist(ax, ay, bx, by, seg: float = 25.0) -> float:
         for j in range(1, q):
             ca[i, j] = min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]) + d[i, j]
     return float(ca[p - 1, q - 1] / max(p, q))
+
+
+_DP_CHUNK = 32  # bound the padded DP cube: 2 cubes x 32 x 256 x 256 x 8B ~ 34 MB
+
+
+def frechet_dists_batch(paths) -> tuple[np.ndarray, np.ndarray]:
+    """Both Fréchet metrics for MANY polyline pairs in one call —
+    bit-identical per element to ``frechet_dist`` / ``acc_frechet_dist``.
+
+    The scalar DPs are ~65k interpreted python iterations per pair once
+    densify hits MAX_DENSIFY_PTS; over a corpus of short trips that per
+    -pair constant dominates the whole eval stage (measured ~4.6 s for
+    625 trips at sf0.1). Here the DP runs as an anti-diagonal wavefront
+    over a padded (batch, P, Q) cube: cells on diagonal k depend only
+    on diagonals k-1/k-2, so each step is a handful of vectorized
+    selections across every pair at once. Selections (min/max) and the
+    single per-cell add keep the exact scalar operand order, boundary
+    rows use ``np.{maximum,add}.accumulate`` (strictly sequential, the
+    scalar loop's order), and padded cells only ever CONSUME real
+    cells — each pair's answer cell never reads padding. Batches are
+    chunked to ``_DP_CHUNK`` so memory stays bounded however many pairs
+    a caller groups together.
+
+    ``paths``: iterable of raw (ax, ay, bx, by) float64 arrays
+    (pre-densify). Returns (d_f, acc_d_f) arrays aligned with input.
+    """
+    paths = list(paths)
+    df_out = np.empty(len(paths))
+    adf_out = np.empty(len(paths))
+    for lo in range(0, len(paths), _DP_CHUNK):
+        chunk = paths[lo:lo + _DP_CHUNK]
+        for acc, seg0, out in ((False, 50.0, df_out), (True, 25.0, adf_out)):
+            dens = []
+            for ax, ay, bx, by in chunk:
+                ax = np.asarray(ax, np.float64); ay = np.asarray(ay, np.float64)
+                bx = np.asarray(bx, np.float64); by = np.asarray(by, np.float64)
+                seg = max(_eff_seg(ax, ay, seg0), _eff_seg(bx, by, seg0))
+                dens.append(densify(ax, ay, seg) + densify(bx, by, seg))
+            out[lo:lo + len(chunk)] = _frechet_dp_wavefront(dens, acc)
+    return df_out, adf_out
+
+
+def _frechet_dp_wavefront(dens, acc: bool) -> np.ndarray:
+    """Run the (max|acc) Fréchet DP for a batch of DENSIFIED pairs."""
+    nb = len(dens)
+    p_max = max(len(t[0]) for t in dens)
+    q_max = max(len(t[2]) for t in dens)
+    d = np.zeros((nb, p_max, q_max))
+    for n, (ax, ay, bx, by) in enumerate(dens):
+        dx = ax[:, None] - bx[None, :]
+        dy = ay[:, None] - by[None, :]
+        # the scalar kernels' exact expression (Geo.h:362-370 dist)
+        d[n, : len(ax), : len(bx)] = np.sqrt(dx * dx + dy * dy)
+    ca = np.zeros((nb, p_max, q_max))
+    edge = np.add if acc else np.maximum
+    ca[:, 0, :] = edge.accumulate(d[:, 0, :], axis=1)
+    ca[:, :, 0] = edge.accumulate(d[:, :, 0], axis=1)
+    for k in range(2, p_max + q_max - 1):
+        i0 = max(1, k - (q_max - 1))
+        i1 = min(p_max - 1, k - 1)
+        if i0 > i1:
+            continue
+        ii = np.arange(i0, i1 + 1)
+        jj = k - ii
+        m3 = np.minimum(
+            np.minimum(ca[:, ii - 1, jj], ca[:, ii - 1, jj - 1]), ca[:, ii, jj - 1]
+        )
+        if acc:
+            ca[:, ii, jj] = m3 + d[:, ii, jj]
+        else:
+            ca[:, ii, jj] = np.maximum(m3, d[:, ii, jj])
+    out = np.empty(nb)
+    for n, (ax, ay, bx, by) in enumerate(dens):
+        p, q = len(ax), len(bx)
+        v = ca[n, p - 1, q - 1]
+        out[n] = v / max(p, q) if acc else v
+    return out

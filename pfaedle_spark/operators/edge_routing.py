@@ -703,11 +703,19 @@ def shape_assembly(
         )
 
     n_part = spark.sparkContext.defaultParallelism * 4
+
+    # bucketed like viterbi_full: loop reps inside one pandas call so
+    # the per-group Arrow constant amortizes over distinct fingerprints
+    def solve_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = [solve(g) for _, g in pdf.groupby("fingerprint", sort=False)]
+        return pd.concat(out, ignore_index=True)
+
     solved = (
-        reps.repartition(n_part, "fingerprint")
-        .groupBy("fingerprint")
+        reps.withColumn("_bucket", F.pmod(F.hash("fingerprint"), F.lit(n_part)))
+        .repartition(n_part, "_bucket")
+        .groupBy("_bucket")
         .applyInPandas(
-            solve,
+            solve_bucket,
             schema=(
                 "fingerprint string, pt_seq long, x double, y double, "
                 "cum_dist double, hop_seq long, edge_state long"
@@ -1020,13 +1028,25 @@ def viterbi_full(
         "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank"
     )
 
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _viterbi_full_one(pdf, bc.value)
-
     n_part = spark.sparkContext.defaultParallelism * 4
+
+    # one pandas group per fingerprint pays the Arrow+pandas per-group
+    # constant once per REPRESENTATIVE — fine when clustering collapses
+    # many trips per rep, but the main grid's structural trips are all
+    # distinct, so the constant dominated (625 groups ~ +1.5 s at
+    # sf0.1). Group a hash BUCKET of fingerprints per call instead and
+    # loop the per-rep DP inside; buckets stay the distributed axis.
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            _viterbi_full_one(g, bc.value)
+            for _, g in pdf.groupby("fingerprint", sort=False)
+        ]
+        return pd.concat(out, ignore_index=True)
+
     solved = (
-        reps.repartition(n_part, "fingerprint")
-        .groupBy("fingerprint")
+        reps.withColumn("_bucket", F.pmod(F.hash("fingerprint"), F.lit(n_part)))
+        .repartition(n_part, "_bucket")
+        .groupBy("_bucket")
         .applyInPandas(
             solve,
             schema=(

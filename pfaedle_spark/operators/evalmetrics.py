@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geo import acc_frechet_dist, frechet_dist
+from ..functions.geo import acc_frechet_dist, frechet_dist, frechet_dists_batch
 
 UNMATCHED_DF = 20.0
 DF_BINS = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0]
@@ -41,37 +41,42 @@ def frechet_eval(aligned_xy: DataFrame, truth_xy: DataFrame) -> DataFrame:
 
     cols = ["trip_id", "n_pts", "d_f", "acc_d_f", "unmatched", "len_m"]
 
-    def per_trip(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["side", "seq"])
-        ga = pdf[pdf["side"] == 0]
-        gb = pdf[pdf["side"] == 1]
-        if len(ga) < 2 or len(gb) < 2:
+    # one pandas group per trip would pay the ~65k-iteration scalar DP
+    # per call; grouping a BUCKET of trips per call feeds them all to
+    # the batched wavefront DP (geo.frechet_dists_batch, bit-identical
+    # to the scalar kernels) — the per-trip python constant amortizes
+    # across the bucket while trip buckets stay the distributed axis
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        metas, paths = [], []
+        for trip_id, g in pdf.groupby("trip_id", sort=False):
+            g = g.sort_values(["side", "seq"])
+            ga = g[g["side"] == 0]
+            gb = g[g["side"] == 1]
+            if len(ga) < 2 or len(gb) < 2:
+                continue
+            ax, ay = ga["x"].to_numpy(float), ga["y"].to_numpy(float)
+            bx, by = gb["x"].to_numpy(float), gb["y"].to_numpy(float)
+            paths.append((ax, ay, bx, by))
+            metas.append((trip_id, len(ga), _seq_length(ax, ay)))
+        if not paths:
             return pd.DataFrame(columns=cols)
-        ax, ay = ga["x"].to_numpy(float), ga["y"].to_numpy(float)
-        bx, by = gb["x"].to_numpy(float), gb["y"].to_numpy(float)
-        df_ = frechet_dist(ax, ay, bx, by)
-        adf = acc_frechet_dist(ax, ay, bx, by)
-        length = _seq_length(ax, ay)
+        dfs, adfs = frechet_dists_batch(paths)
         return pd.DataFrame(
             [
-                (
-                    pdf["trip_id"].iloc[0],
-                    len(ga),
-                    float(df_),
-                    float(adf),
-                    bool(df_ >= UNMATCHED_DF),
-                    length,
-                )
+                (trip_id, n, float(dfs[i]), float(adfs[i]),
+                 bool(dfs[i] >= UNMATCHED_DF), length)
+                for i, (trip_id, n, length) in enumerate(metas)
             ],
             columns=cols,
         )
 
     n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        both.repartition(n_part, "trip_id")
-        .groupBy("trip_id")
+        both.withColumn("_bucket", F.pmod(F.hash("trip_id"), F.lit(n_part)))
+        .repartition(n_part, "_bucket")
+        .groupBy("_bucket")
         .applyInPandas(
-            per_trip,
+            per_bucket,
             schema=(
                 "trip_id string, n_pts long, d_f double, acc_d_f double, "
                 "unmatched boolean, len_m double"

@@ -35,6 +35,27 @@ from pyspark.sql import functions as F
 from .. import constants as C
 
 
+def bucketed_apply(df: DataFrame, key: str, n_part: int, solve, schema: str) -> DataFrame:
+    """``groupBy(key).applyInPandas(solve)`` with the per-group Arrow
+    constant amortized: groups a hash BUCKET of keys per pandas call
+    and loops ``solve`` over the real groups inside. One group per trip
+    was the right axis when trips were few and long; the structural
+    main grid has many short trips, where ~2-3 ms of per-group
+    scaffolding × thousands of groups dominated the DP stages. Output
+    is identical — ``solve`` still sees exactly one key's rows."""
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [solve(g) for _, g in pdf.groupby(key, sort=False)], ignore_index=True
+        )
+
+    return (
+        df.withColumn("_bucket", F.pmod(F.hash(key), F.lit(n_part)))
+        .repartition(n_part, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(run, schema=schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # graph representation: CSR adjacency over flat numpy arrays
 # ---------------------------------------------------------------------------
@@ -311,14 +332,12 @@ def viterbi_align(
     # explicit hash repartition by the group key: AQE's byte-based
     # coalescing would collapse this tiny-by-bytes but CPU-heavy Python
     # stage onto one task; an explicit repartition is never coalesced,
-    # and HashPartitioning(trip_id) satisfies the grouping distribution,
-    # so no second shuffle is inserted.
+    # and HashPartitioning satisfies the grouping distribution, so no
+    # second shuffle is inserted.
     n_part = candidates.sparkSession.sparkContext.defaultParallelism * 4
-    return (
-        candidates.select(*cols)
-        .repartition(n_part, "trip_id")
-        .groupBy("trip_id")
-        .applyInPandas(solve, schema=_DEBUG_SCHEMA if debug else _ALIGN_SCHEMA)
+    return bucketed_apply(
+        candidates.select(*cols), "trip_id", n_part, solve,
+        _DEBUG_SCHEMA if debug else _ALIGN_SCHEMA,
     )
 
 
@@ -446,12 +465,7 @@ def greedy2_align(
 
     cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
     n_part = spark.sparkContext.defaultParallelism * 4
-    return (
-        candidates.select(*cols)
-        .repartition(n_part, "trip_id")
-        .groupBy("trip_id")
-        .applyInPandas(solve, schema=_ALIGN_SCHEMA)
-    )
+    return bucketed_apply(candidates.select(*cols), "trip_id", n_part, solve, _ALIGN_SCHEMA)
 
 
 def hop_shortest_paths_cogrouped(
@@ -585,11 +599,7 @@ def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFra
         "cand_node long, to_node long, path_cost double"
     )
     n_part = candidates.sparkSession.sparkContext.defaultParallelism * 4
-    out = (
-        hops.repartition(n_part, "trip_id")
-        .groupBy("trip_id")
-        .applyInPandas(solve, schema=schema)
-    )
+    out = bucketed_apply(hops, "trip_id", n_part, solve, schema)
     # unreachable (cross-component) hops: surface as SQL NULL, not NaN
     return out.withColumn(
         "path_cost",

@@ -79,11 +79,12 @@ def test_exact_dedup_has_partial_aggregation(spark):
 
 
 def test_grouped_dp_keeps_explicit_partitioning(spark):
-    """The Viterbi stage repartitions by the group key (visible as a
-    user-specified repartition that AQE may not coalesce away). Built
-    from the operator directly: the entry-point query serves a
-    session-memoized localCheckpoint (Scan ExistingRDD) whose plan no
-    longer shows the DP stage."""
+    """The Viterbi stage repartitions by the explicit trip BUCKET key
+    (a user-specified repartition that AQE may not coalesce away; the
+    bucket amortizes the per-group Arrow constant across trips, see
+    routing.bucketed_apply). Built from the operator directly: the
+    entry-point query serves a session-memoized localCheckpoint (Scan
+    ExistingRDD) whose plan no longer shows the DP stage."""
     from pfaedle_spark import datagen
     from pfaedle_spark.operators import candidates, graph_ops, routing
 
@@ -92,7 +93,7 @@ def test_grouped_dp_keeps_explicit_partitioning(spark):
     aligned = routing.viterbi_align(cand, graph_ops.write_odir_edges(eds))
     plan = plan_of(aligned)
     assert "FlatMapGroupsInPandas" in plan
-    assert "hashpartitioning(trip_id" in plan
+    assert "hashpartitioning(_bucket" in plan
 
 
 def test_lifecycle_candidates_broadcast_composed_graph(spark):

@@ -171,3 +171,70 @@ def test_centroid_inside_bbox_and_area_nonneg(pts):
     assert xs.min() - 1e-6 <= cx <= xs.max() + 1e-6
     assert ys.min() - 1e-6 <= cy <= ys.max() + 1e-6
     assert area >= 0.0
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(1 << 15), max_value=1 << 15),
+            min_size=64, max_size=64,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_srp_key_matmul_matches_scalar_reference(vecs):
+    """The batched numpy SRP kernel (sign projections -> band keys,
+    simsearch._srp_keys_np's math) must equal a naive per-component
+    python loop for any in-range int64 vectors — pins the matmul,
+    reshape and bit-packing order against the written-out definition
+    (hyperplane (j,d) = LCG(j*D+d), key_b = sum_i bit[b*W+i] << i)."""
+    from pfaedle_spark.operators import simsearch as ss
+
+    m = np.array(vecs, dtype=np.int64)
+    w = ss._srp_weights()
+    bits = (m @ w.T >= 0).astype(np.int64)
+    pw = np.int64(1) << np.arange(ss.BAND_W, dtype=np.int64)
+    keys = bits.reshape(-1, ss.SRP_BANDS, ss.BAND_W) @ pw
+
+    for n, qv in enumerate(vecs):
+        for b in range(ss.SRP_BANDS):
+            want = 0
+            for i in range(ss.BAND_W):
+                j = b * ss.BAND_W + i
+                dot = sum(
+                    qv[d]
+                    * ((ss._LCG_MUL * (j * ss.EMB_DIM + d) + ss._LCG_ADD)
+                       % ss._LCG_MOD - ss._LCG_HALF)
+                    for d in range(ss.EMB_DIM)
+                )
+                want += (1 if dot >= 0 else 0) << i
+            assert keys[n, b] == want, (n, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.tuples(fin, fin), min_size=2, max_size=10),
+            st.lists(st.tuples(fin, fin), min_size=2, max_size=10),
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_frechet_batch_wavefront_matches_scalar_dps(pairs):
+    """The anti-diagonal wavefront batch DP must be BIT-identical to
+    the scalar per-pair kernels for both metrics — selections and the
+    single per-cell add keep the scalar operand order, so == not
+    allclose."""
+    paths = [
+        (
+            np.array([p[0] for p in a]), np.array([p[1] for p in a]),
+            np.array([p[0] for p in b]), np.array([p[1] for p in b]),
+        )
+        for a, b in pairs
+    ]
+    dfs, adfs = geo.frechet_dists_batch(paths)
+    for i, (ax, ay, bx, by) in enumerate(paths):
+        assert dfs[i] == geo.frechet_dist(ax, ay, bx, by)
+        assert adfs[i] == geo.acc_frechet_dist(ax, ay, bx, by)
