@@ -702,7 +702,9 @@ def shape_assembly(
             ],
         )
 
-    n_part = spark.sparkContext.defaultParallelism * 4
+    from .routing import dp_partitions
+
+    n_part = dp_partitions(spark)
 
     # bucketed like viterbi_full: loop reps inside one pandas call so
     # the per-group Arrow constant amortizes over distinct fingerprints
@@ -1028,7 +1030,9 @@ def viterbi_full(
         "fingerprint", "variant", "seq", "edge_id", "cand_node", "emission", "rank"
     )
 
-    n_part = spark.sparkContext.defaultParallelism * 4
+    from .routing import dp_partitions
+
+    n_part = dp_partitions(spark)
 
     # one pandas group per fingerprint pays the Arrow+pandas per-group
     # constant once per REPRESENTATIVE — fine when clustering collapses

@@ -70,7 +70,9 @@ def frechet_eval(aligned_xy: DataFrame, truth_xy: DataFrame) -> DataFrame:
             columns=cols,
         )
 
-    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    from .routing import dp_partitions
+
+    n_part = dp_partitions(aligned_xy.sparkSession)
     return (
         both.withColumn("_bucket", F.pmod(F.hash("trip_id"), F.lit(n_part)))
         .repartition(n_part, "_bucket")
@@ -409,7 +411,9 @@ def frechet_hops(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(rows, columns=cols)
 
-    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    from .routing import dp_partitions
+
+    n_part = dp_partitions(aligned_xy.sparkSession)
     return (
         both.repartition(n_part, "trip_id")
         .groupBy("trip_id")
@@ -464,7 +468,9 @@ def acc_frechet_hops(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
             rows.append((pdf["trip_id"].iloc[0], i, adf, ln))
         return pd.DataFrame(rows, columns=cols)
 
-    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    from .routing import dp_partitions
+
+    n_part = dp_partitions(aligned_xy.sparkSession)
     return (
         both.repartition(n_part, "trip_id")
         .groupBy("trip_id")
@@ -518,7 +524,9 @@ def segmentize(aligned_xy: DataFrame, stops_xy: DataFrame) -> DataFrame:
             rows, columns=["trip_id", "stop_seq", "start_pos", "end_pos", "seg_len"]
         )
 
-    n_part = aligned_xy.sparkSession.sparkContext.defaultParallelism * 2
+    from .routing import dp_partitions
+
+    n_part = dp_partitions(aligned_xy.sparkSession)
     return (
         both.repartition(n_part, "trip_id")
         .groupBy("trip_id")

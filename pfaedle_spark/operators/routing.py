@@ -35,6 +35,21 @@ from pyspark.sql import functions as F
 from .. import constants as C
 
 
+def dp_partitions(spark) -> int:
+    """Bucket count for the grouped-DP stages: the session's FIXED
+    shuffle-partition setting (floored at 2x the core count for wide
+    hosts). Deriving it from defaultParallelism alone made the bucket
+    count scale with cores, so a bigger executor count paid
+    proportionally MORE per-group Arrow constants for the same data —
+    measured as a scaling-efficiency leak on the 2->8 pinned lifecycle
+    pair. A cores-independent count keeps per-group overhead constant
+    across cluster sizes, which is also how a real job behaves
+    (spark.sql.shuffle.partitions is a job setting, not a cluster
+    property)."""
+    fixed = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(fixed, spark.sparkContext.defaultParallelism * 2)
+
+
 def bucketed_apply(df: DataFrame, key: str, n_part: int, solve, schema: str) -> DataFrame:
     """``groupBy(key).applyInPandas(solve)`` with the per-group Arrow
     constant amortized: groups a hash BUCKET of keys per pandas call
@@ -334,7 +349,7 @@ def viterbi_align(
     # stage onto one task; an explicit repartition is never coalesced,
     # and HashPartitioning satisfies the grouping distribution, so no
     # second shuffle is inserted.
-    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 4
+    n_part = dp_partitions(candidates.sparkSession)
     return bucketed_apply(
         candidates.select(*cols), "trip_id", n_part, solve,
         _DEBUG_SCHEMA if debug else _ALIGN_SCHEMA,
@@ -464,7 +479,7 @@ def greedy2_align(
         )
 
     cols = ["trip_id", "seq", "image_id", "edge_id", "cand_node", "dist"]
-    n_part = spark.sparkContext.defaultParallelism * 4
+    n_part = dp_partitions(spark)
     return bucketed_apply(candidates.select(*cols), "trip_id", n_part, solve, _ALIGN_SCHEMA)
 
 
@@ -598,7 +613,7 @@ def hop_shortest_paths(candidates: DataFrame, edges_bidir: DataFrame) -> DataFra
         "trip_id string, seq long, image_id string, to_image string, "
         "cand_node long, to_node long, path_cost double"
     )
-    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 4
+    n_part = dp_partitions(candidates.sparkSession)
     out = bucketed_apply(hops, "trip_id", n_part, solve, schema)
     # unreachable (cross-component) hops: surface as SQL NULL, not NaN
     return out.withColumn(
