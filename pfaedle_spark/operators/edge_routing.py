@@ -1361,70 +1361,80 @@ def _viterbi_full_one(
     variant = int(pdf["variant"].iloc[0])
     csr = _vf_csr(trans_by_variant, variant)
 
-    # expand candidates to directed states: fwd + rev share the emission
-    base = pdf[["seq", "edge_id", "emission"]].drop_duplicates()
-    fwd = base.copy()
-    fwd["state"] = fwd["edge_id"]
-    rev = base.copy()
-    rev["state"] = rev["edge_id"] + REV_OFF
-    states = pd.concat([fwd, rev]).sort_values(["seq", "state"], ignore_index=True)
-
-    seqs = sorted(states["seq"].unique())
-    layers = [states[states["seq"] == s].reset_index(drop=True) for s in seqs]
+    # Layer prep in flat numpy (the pandas slice/concat/iloc version
+    # cost ~2-3 ms PER TRIP of pure scaffolding — the dominant term on
+    # short-trip worlds). The DP arithmetic below is untouched: same
+    # d.get lookups, same emission add, same argmin tie-break.
+    seq = pdf["seq"].to_numpy(np.int64)
+    eid = pdf["edge_id"].to_numpy(np.int64)
+    emi = pdf["emission"].to_numpy(np.float64)
+    # drop_duplicates (seq, edge_id, emission), first occurrence
+    o1 = np.lexsort((np.arange(len(seq)), emi, eid, seq))
+    sq1, ei1, em1 = seq[o1], eid[o1], emi[o1]
+    keep = np.ones(len(sq1), bool)
+    keep[1:] = (
+        (sq1[1:] != sq1[:-1]) | (ei1[1:] != ei1[:-1]) | (em1[1:] != em1[:-1])
+    )
+    first_idx = np.sort(o1[keep])
+    bsq, bei, bem = seq[first_idx], eid[first_idx], emi[first_idx]
+    nb = len(bsq)
+    # directed states: fwd block then rev block, sorted by (seq, state)
+    # with the block order as the stable tie-break (REV_OFF > any edge
+    # id, so within a seq all fwd states precede all rev states)
+    s_seq = np.concatenate([bsq, bsq])
+    s_state = np.concatenate([bei, bei + REV_OFF])
+    s_eid = np.concatenate([bei, bei])
+    s_em = np.concatenate([bem, bem])
+    o2 = np.lexsort((np.arange(2 * nb), s_state, s_seq))
+    s_seq, s_state, s_eid, s_em = s_seq[o2], s_state[o2], s_eid[o2], s_em[o2]
+    seqs = np.unique(s_seq)
+    bounds = np.append(np.searchsorted(s_seq, seqs), 2 * nb)
+    lay = [slice(int(bounds[i]), int(bounds[i + 1])) for i in range(len(seqs))]
 
     dp_cost: list[np.ndarray] = []
     dp_prev: list[np.ndarray] = []
-    dp_cost.append(layers[0]["emission"].to_numpy(np.float64))
-    dp_prev.append(np.full(len(layers[0]), -1, dtype=np.int64))
-    for li in range(1, len(layers)):
-        prev_l, cur_l = layers[li - 1], layers[li]
-        prev_states = prev_l["state"].to_numpy(np.int64)
-        cur_states = [int(t) for t in cur_l["state"].to_numpy(np.int64)]
+    dp_cost.append(s_em[lay[0]].copy())
+    dp_prev.append(np.full(bounds[1] - bounds[0], -1, dtype=np.int64))
+    for li in range(1, len(seqs)):
+        prev_states = s_state[lay[li - 1]]
+        cur_states = [int(t) for t in s_state[lay[li]]]
         seeds = list(zip((int(s) for s in prev_states), dp_cost[-1].tolist()))
         d, o = edge_dijkstra_viterbi_step(csr, seeds, cur_states)
-        emission = cur_l["emission"].to_numpy(np.float64)
+        emission = s_em[lay[li]]
         dp_cost.append(np.array([d.get(t, np.inf) for t in cur_states]) + emission)
         dp_prev.append(np.array([o.get(t, 0) for t in cur_states], dtype=np.int64))
 
-    choice = np.zeros(len(layers), dtype=np.int64)
+    choice = np.zeros(len(seqs), dtype=np.int64)
     choice[-1] = int(np.argmin(dp_cost[-1]))
-    for li in range(len(layers) - 1, 0, -1):
+    for li in range(len(seqs) - 1, 0, -1):
         choice[li - 1] = dp_prev[li][choice[li]]
 
     if debug:
         # -T surface: EVERY candidate state per layer with its DP cost
         # and whether the backtrack chose it (app.cpp:206-224)
-        out = []
-        for li, lay in enumerate(layers):
-            for i in range(len(lay)):
-                r = lay.iloc[i]
-                out.append(
-                    (
-                        fpr, int(r["seq"]), int(r["state"]), int(r["edge_id"]),
-                        float(r["emission"]), float(dp_cost[li][i]),
-                        bool(i == int(choice[li])),
-                    )
-                )
+        acc = np.concatenate(dp_cost)
+        chosen = np.zeros(2 * nb, dtype=bool)
+        chosen[bounds[:-1] + choice] = True
         return pd.DataFrame(
-            out,
-            columns=[
-                "fingerprint", "seq", "state_edge", "edge_id",
-                "emission", "acc_cost", "chosen",
-            ],
+            {
+                "fingerprint": fpr, "seq": s_seq, "state_edge": s_state,
+                "edge_id": s_eid, "emission": s_em, "acc_cost": acc,
+                "chosen": chosen,
+            }
         )
 
-    out = []
-    for li, lay in enumerate(layers):
-        r = lay.iloc[int(choice[li])]
-        out.append(
-            (
-                fpr, int(r["seq"]), int(r["state"]), int(r["edge_id"]),
-                float(r["emission"]), float(dp_cost[li][int(choice[li])]),
-            )
-        )
+    pick = bounds[:-1] + choice
     return pd.DataFrame(
-        out,
-        columns=["fingerprint", "seq", "state_edge", "edge_id", "emission", "acc_cost"],
+        {
+            "fingerprint": fpr,
+            "seq": s_seq[pick],
+            "state_edge": s_state[pick],
+            "edge_id": s_eid[pick],
+            "emission": s_em[pick],
+            "acc_cost": np.array(
+                [float(dp_cost[li][int(choice[li])]) for li in range(len(seqs))]
+            ),
+        }
     )
 
 
