@@ -359,28 +359,38 @@ def viterbi_align(
 def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict, debug: bool = False) -> pd.DataFrame:
     """Forward DP + backtrack for one trip. Pure function — unit-testable
     against the brute-force oracle without Spark."""
-    pdf = pdf.sort_values(["seq", "edge_id"], ignore_index=True)
-    seqs = sorted(pdf["seq"].unique())
-    layers = [pdf[pdf["seq"] == s].reset_index(drop=True) for s in seqs]
+    # flat-numpy layer prep (same shape as edge_routing._viterbi_full_one:
+    # the pandas slice/iloc version cost ~2-3 ms of scaffolding per trip);
+    # (seq, edge_id) is unique per candidate set, so this lexsort IS the
+    # old sort_values order and argmin tie-breaks are unchanged
+    seq0 = pdf["seq"].to_numpy(np.int64)
+    eid0 = pdf["edge_id"].to_numpy(np.int64)
+    order = np.lexsort((eid0, seq0))
+    seq, eid = seq0[order], eid0[order]
+    node = pdf["cand_node"].to_numpy(np.int64)[order]
+    dist = pdf["dist"].to_numpy(np.float64)[order]
+    tid = pdf["trip_id"].to_numpy()[order]
+    iid = pdf["image_id"].to_numpy()[order]
+    seqs = np.unique(seq)
+    bounds = np.append(np.searchsorted(seq, seqs), len(seq))
+    lay = [slice(int(bounds[i]), int(bounds[i + 1])) for i in range(len(seqs))]
 
     # forward pass
     dp_cost: list[np.ndarray] = []
     dp_prev: list[np.ndarray] = []
-    first = layers[0]
-    dp_cost.append(first["dist"].to_numpy(np.float64) * C.CAND_PEN_FAC)
-    dp_prev.append(np.full(len(first), -1, dtype=np.int64))
-    for li in range(1, len(layers)):
-        prev_l, cur_l = layers[li - 1], layers[li]
-        prev_nodes = prev_l["cand_node"].to_numpy(np.int64)
-        cur_nodes = cur_l["cand_node"].to_numpy(np.int64)
+    dp_cost.append(dist[lay[0]] * C.CAND_PEN_FAC)
+    dp_prev.append(np.full(bounds[1] - bounds[0], -1, dtype=np.int64))
+    for li in range(1, len(seqs)):
+        prev_nodes = node[lay[li - 1]]
+        cur_nodes = node[lay[li]]
         # hop matrix: one Dijkstra per distinct source node (R6)
-        trans = np.full((len(prev_l), len(cur_l)), np.inf)
+        trans = np.full((len(prev_nodes), len(cur_nodes)), np.inf)
         tgt = set(int(t) for t in np.unique(cur_nodes))
         for un in np.unique(prev_nodes):
             d = cached_dijkstra(csr, int(un), tgt)
             row = np.array([d.get(int(cn), np.inf) for cn in cur_nodes])
             trans[prev_nodes == un, :] = row
-        emission = cur_l["dist"].to_numpy(np.float64) * C.CAND_PEN_FAC
+        emission = dist[lay[li]] * C.CAND_PEN_FAC
         total = dp_cost[-1][:, None] + trans + emission[None, :]
         # deterministic argmin: np.argmin returns first minimum; rows are
         # pre-sorted by edge_id so ties break toward the smaller edge_id
@@ -389,46 +399,34 @@ def _viterbi_one_trip(pdf: pd.DataFrame, csr: dict, debug: bool = False) -> pd.D
         dp_prev.append(best_prev)
 
     # backtrack (argmin over final layer, first-min tie-break)
-    choice = np.zeros(len(layers), dtype=np.int64)
+    choice = np.zeros(len(seqs), dtype=np.int64)
     choice[-1] = int(np.argmin(dp_cost[-1]))
-    for li in range(len(layers) - 1, 0, -1):
+    for li in range(len(seqs) - 1, 0, -1):
         choice[li - 1] = dp_prev[li][choice[li]]
 
     if debug:
         # -T surface: every state of every layer with its forward-DP
         # cost; chosen marks the backtracked path (== the default output)
-        out_d = []
-        for li, lay in enumerate(layers):
-            for i in range(len(lay)):
-                r = lay.iloc[i]
-                out_d.append(
-                    (
-                        r["trip_id"], int(r["seq"]), r["image_id"], int(r["edge_id"]),
-                        int(r["cand_node"]), float(r["dist"] * C.CAND_PEN_FAC),
-                        float(dp_cost[li][i]), bool(i == int(choice[li])),
-                    )
-                )
+        chosen = np.zeros(len(seq), dtype=bool)
+        chosen[bounds[:-1] + choice] = True
         return pd.DataFrame(
-            out_d,
-            columns=[
-                "trip_id", "seq", "image_id", "edge_id", "cand_node",
-                "emission", "acc_cost", "chosen",
-            ],
+            {
+                "trip_id": tid, "seq": seq, "image_id": iid, "edge_id": eid,
+                "cand_node": node, "emission": dist * C.CAND_PEN_FAC,
+                "acc_cost": np.concatenate(dp_cost), "chosen": chosen,
+            }
         )
 
-    out = []
-    for li, lay in enumerate(layers):
-        r = lay.iloc[int(choice[li])]
-        out.append(
-            (
-                r["trip_id"], int(r["seq"]), r["image_id"], int(r["edge_id"]),
-                int(r["cand_node"]), float(r["dist"] * C.CAND_PEN_FAC),
-                float(dp_cost[li][int(choice[li])]),
-            )
-        )
+    pick = bounds[:-1] + choice
     return pd.DataFrame(
-        out,
-        columns=["trip_id", "seq", "image_id", "edge_id", "cand_node", "emission", "acc_cost"],
+        {
+            "trip_id": tid[pick], "seq": seq[pick], "image_id": iid[pick],
+            "edge_id": eid[pick], "cand_node": node[pick],
+            "emission": dist[pick] * C.CAND_PEN_FAC,
+            "acc_cost": np.array(
+                [float(dp_cost[li][int(choice[li])]) for li in range(len(seqs))]
+            ),
+        }
     )
 
 
